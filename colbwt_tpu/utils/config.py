@@ -1,0 +1,99 @@
+"""Single configuration object for build + query.
+
+The reference spreads its knobs over three tiers (compile-time macros in
+include/common/common.hpp:45-68, getopt Args at :211-276, and the CLI argparse
+in scripts/col-bwt.py:200-231).  Here they live in one dataclass consumed by
+every stage.
+
+Integer-width budget (reference: include/common/common.hpp:46-54 packs rows as
+char:8 + idx:40 + interval:32 + offset:16 (+ col_id:8 + threshold:40)):
+we keep the same *logical* limits (n < 2**40, r < 2**32, run length < 2**16
+only for the packed on-disk export; in-memory device arrays are int32 when
+n < 2**31 else int64) but lay the index out as structure-of-arrays, which is
+what the TPU gather path wants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+from pathlib import Path
+
+
+class SplitMode(str, enum.Enum):
+    """How BWT runs are split by multi-MUM sub-runs.
+
+    Mirrors Options::Mode of the reference (include/col_split.hpp:16-22).
+    """
+
+    ALL = "all"          # split at every col sub-run boundary
+    TUNNELS = "tunnels"  # only while the FL image stays contiguous (tunneled)
+
+
+@dataclasses.dataclass
+class ColBwtConfig:
+    # --- build knobs (scripts/col-bwt.py:205-223) ---
+    mode: SplitMode = SplitMode.TUNNELS
+    split_rate: int = 10          # -s / --sub-sample
+    min_mum: int = 20             # -l / --min-mum
+    rev_comp: bool = False        # -r
+    keep_temp: bool = False       # --keep
+    force: bool = False           # --force
+    verbose: bool = False         # -v
+
+    # --- format budget (include/common/common.hpp:46-54) ---
+    rw_bytes: int = 5             # RW_BYTES: on-disk width of n-scale ints
+    id_bits: int = 8              # ID_BITS: col IDs binned into [1, 2**id_bits - 1]
+    run_bytes: int = 4            # RUN_BYTES: on-disk width of r-scale ints
+    len_bytes: int = 2            # LEN_BYTES: on-disk width of run lengths
+
+    # --- query engine knobs (new; no reference counterpart) ---
+    batch_size: int = 8192        # reads advanced in lockstep per device
+    max_read_len: int = 256       # padded read length bucket
+    engine: str = "auto"          # "xla" | "pallas" | "auto"
+    ff_bound: int = 8             # max LF fast-forward steps after run splitting
+
+    # --- parallel knobs (new; reference is single-node: SURVEY §2.3) ---
+    dp: int = 1                   # data-parallel (read-sharded) mesh axis
+    ip: int = 1                   # index-parallel (interval-sharded) mesh axis
+
+    @property
+    def id_max(self) -> int:
+        """Exclusive upper bound of col IDs (bit_max(ID_BITS),
+        include/common/common.hpp:302-304)."""
+        return 1 << self.id_bits
+
+    def bin_id(self, ident: int) -> int:
+        """Fold an id into [1, id_max - 1]; 0 stays 0 ("no id").
+
+        Exact reference semantics: col_id_bin at
+        include/common/common.hpp:306-308 — ids >= id_max map to
+        (id % (id_max - 1)) + 1.
+        """
+        m = self.id_max
+        return (ident % (m - 1)) + 1 if ident >= m else ident
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["mode"] = self.mode.value
+        return json.dumps(d, indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "ColBwtConfig":
+        d = json.loads(text)
+        d["mode"] = SplitMode(d["mode"])
+        return cls(**d)
+
+    def save(self, path: str | Path) -> None:
+        Path(path).write_text(self.to_json())
+
+    @classmethod
+    def load(cls, path: str | Path) -> "ColBwtConfig":
+        return cls.from_json(Path(path).read_text())
+
+
+# The unique smallest sentinel/terminator byte.  The reference normalizes every
+# byte <= 1 to TERMINATOR == 1 when reading BWT heads
+# (include/common/common.hpp:72, include/ds/LF_table.hpp:111).
+TERMINATOR = 1

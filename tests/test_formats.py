@@ -1,0 +1,129 @@
+"""Round-trip and golden-byte tests for the on-disk codecs (SURVEY §2.4)."""
+
+import numpy as np
+import pytest
+
+from colbwt_tpu.io import formats as F
+from colbwt_tpu.io.fasta import FastaRecord, read_fasta, write_fasta, reverse_complement
+from colbwt_tpu.io import pml_out
+
+
+def test_fixed_int_roundtrip(tmp_path, rng):
+    for width in (1, 2, 4, 5, 8):
+        hi = min(2 ** (8 * width), 2 ** 63)
+        vals = rng.integers(0, hi, 1000).astype(np.uint64)
+        p = tmp_path / f"ints{width}"
+        F.write_fixed_ints(p, vals, width)
+        assert p.stat().st_size == 1000 * width
+        got = F.read_fixed_ints(p, width)
+        np.testing.assert_array_equal(got, vals)
+
+
+def test_fixed_int_golden():
+    # 5-byte little-endian: 0x0102030405 -> bytes 05 04 03 02 01
+    enc = F.encode_fixed_ints(np.array([0x0102030405], dtype=np.uint64), 5)
+    assert enc == bytes([0x05, 0x04, 0x03, 0x02, 0x01])
+    assert F.decode_fixed_ints(enc, 5)[0] == 0x0102030405
+
+
+def test_fixed_int_overflow():
+    with pytest.raises(OverflowError):
+        F.encode_fixed_ints(np.array([256], dtype=np.uint64), 1)
+
+
+def test_rlbwt_roundtrip(tmp_path, rng):
+    heads = rng.integers(1, 255, 64).astype(np.uint8)
+    lens = rng.integers(1, 100000, 64).astype(np.uint64)
+    F.write_rlbwt(tmp_path / "x", heads, lens)
+    h2, l2 = F.read_rlbwt(tmp_path / "x")
+    np.testing.assert_array_equal(h2, heads)
+    np.testing.assert_array_equal(l2, lens)
+
+
+def test_plain_bwt_expand(tmp_path):
+    F.write_plain_bwt(tmp_path / "b.bwt", np.array([65, 66, 65], dtype=np.uint8),
+                      np.array([3, 1, 2]))
+    assert (tmp_path / "b.bwt").read_bytes() == b"AAABAA"
+
+
+def test_col_mums_roundtrip(tmp_path):
+    lens = np.array([21, 35, 40], dtype=np.uint64)
+    pos = np.array([100, 5, 77], dtype=np.uint64)
+    F.write_col_mums(tmp_path / "m.col_mums", 8, lens, pos)
+    nd, l2, p2 = F.read_col_mums(tmp_path / "m.col_mums")
+    assert nd == 8
+    np.testing.assert_array_equal(l2, lens)
+    np.testing.assert_array_equal(p2, pos)
+    # file size: (1 + 2*3) values x 5 bytes (src/col_split.cpp:90-106 contract)
+    assert (tmp_path / "m.col_mums").stat().st_size == 7 * 5
+
+
+def test_col_ids_binning(tmp_path):
+    ids = np.array([0, 1, 254, 255, 256, 509, 510], dtype=np.uint64)
+    binned = F.write_col_ids(tmp_path / "i.col_ids", ids)
+    # (id % 255) + 1 for id >= 256... reference: id >= id_max(=256) wraps
+    # (include/common/common.hpp:306-308): 255 stays (255 < 256), 256 -> 2,
+    # 509 -> 255, 510 -> 1
+    np.testing.assert_array_equal(binned, [0, 1, 254, 255, 2, 255, 1])
+    got = F.read_col_ids(tmp_path / "i.col_ids")
+    np.testing.assert_array_equal(got, binned)
+
+
+def test_sdsl_bit_vector_roundtrip(tmp_path, rng):
+    for n in (1, 7, 64, 65, 1000):
+        bits = rng.random(n) < 0.3
+        F.write_sdsl_bit_vector(tmp_path / "bv", bits)
+        got = F.read_sdsl_bit_vector(tmp_path / "bv")
+        np.testing.assert_array_equal(got, bits)
+
+
+def test_sdsl_bit_vector_golden(tmp_path):
+    # 65 bits, bit 0 and bit 64 set: header=65, words = [1, 1]
+    bits = np.zeros(65, dtype=bool)
+    bits[0] = bits[64] = True
+    F.write_sdsl_bit_vector(tmp_path / "bv", bits)
+    raw = (tmp_path / "bv").read_bytes()
+    assert raw == np.array([65, 1, 1], dtype="<u8").tobytes()
+
+
+def test_fasta_roundtrip(tmp_path):
+    recs = [FastaRecord("read1", b"ACGTACGTAA"), FastaRecord("read2", b"TTTT")]
+    write_fasta(tmp_path / "x.fa", recs, width=4)
+    got = list(read_fasta(tmp_path / "x.fa"))
+    assert [(r.name, r.seq) for r in got] == [(r.name, r.seq) for r in recs]
+
+
+def test_fasta_gz_and_fastq(tmp_path):
+    import gzip
+    (tmp_path / "r.fq.gz").write_bytes(gzip.compress(
+        b"@q1 desc\nACGT\nAC\n+\nIIII\nII\n@q2\nGG\n+\nII\n"))
+    got = list(read_fasta(tmp_path / "r.fq.gz"))
+    assert [(r.name, r.seq) for r in got] == [("q1", b"ACGTAC"), ("q2", b"GG")]
+
+
+def test_reverse_complement():
+    assert reverse_complement(b"ACGTN") == b"NACGT"
+
+
+def test_pml_text_format(tmp_path):
+    # exact reference format: '>NAME \n' then 'v ' per value then '\n'
+    # (src/pml_query.cpp:74-90)
+    pml_out.write_pml_cid_text(tmp_path / "p.pml", tmp_path / "p.cid",
+                               ["r1"], [np.array([0, 1, 2])], [np.array([5, 5, 0])])
+    assert (tmp_path / "p.pml").read_text() == ">r1 \n0 1 2 \n"
+    assert (tmp_path / "p.cid").read_text() == ">r1 \n5 5 0 \n"
+
+
+def test_pml_binary_roundtrip(tmp_path, rng):
+    names = ["a", "longer_read_name/1"]
+    pmls = [rng.integers(0, 200, 150), rng.integers(0, 200, 80)]
+    cids = [rng.integers(0, 255, 150), rng.integers(0, 255, 80)]
+    pml_out.write_pml_cid_binary(tmp_path / "x.pml.bin", tmp_path / "x.cid.bin",
+                                 names, pmls, cids)
+    n2, p2 = pml_out.read_pml_cid_binary(tmp_path / "x.pml.bin")
+    n3, c2 = pml_out.read_pml_cid_binary(tmp_path / "x.cid.bin")
+    assert n2 == names and n3 == names
+    for a, b in zip(p2, pmls):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(c2, cids):
+        np.testing.assert_array_equal(a, b)
