@@ -56,6 +56,7 @@ class ColPmlIndex:
     n: int
     r: int
     bwt_r: int
+    ff_bound: int = 0  # max LF-image run span if the table was split (0 = unbounded)
 
     @property
     def sigma(self) -> int:
@@ -63,8 +64,11 @@ class ColPmlIndex:
 
     # ------------------------------------------------------------------
     @classmethod
-    def from_table(cls, tbl: LFTableArrays) -> "ColPmlIndex":
-        """Build from the oracle's LF table (with col_id + threshold)."""
+    def from_table(cls, tbl: LFTableArrays, ff_bound: int = 0) -> "ColPmlIndex":
+        """Build from the oracle's LF table (with col_id + threshold).
+
+        Pass ff_bound=K when `tbl` was produced by ops.run_split with bound K
+        (enables the statically-unrolled LF fast-forward in the engines)."""
         if tbl.n > INT32_MAX:
             raise NotImplementedError(
                 f"n = {tbl.n} exceeds int32; 40-bit split-word layout pending")
@@ -104,7 +108,16 @@ class ColPmlIndex:
             alphabet=alphabet, char_map=char_map,
             n=int(tbl.n), r=int(r),
             bwt_r=int(tbl.bwt_r) if tbl.bwt_r is not None else int(r),
+            ff_bound=int(ff_bound),
         )
+
+    @classmethod
+    def build(cls, tbl: LFTableArrays, ff_bound: int = 4) -> "ColPmlIndex":
+        """from_table + run splitting so the LF fast-forward is statically
+        bounded at ff_bound (ops.run_split; Movi-style splitting [inferred])."""
+        from colbwt_tpu.ops.run_split import split_runs_bounded_ff
+        split = split_runs_bounded_ff(tbl, ff_bound)
+        return cls.from_table(split, ff_bound=ff_bound)
 
     # ------------------------------------------------------------------
     def encode_patterns(self, patterns: list[bytes], max_len: int | None = None
@@ -140,20 +153,23 @@ class ColPmlIndex:
             col_id=self.col_id, threshold=self.threshold,
             pred_jump=self.pred_jump, succ_jump=self.succ_jump,
             alphabet=self.alphabet, char_map=self.char_map,
-            meta=np.array([self.n, self.r, self.bwt_r], dtype=np.int64),
+            meta=np.array([self.n, self.r, self.bwt_r, self.ff_bound],
+                          dtype=np.int64),
         )
 
     @classmethod
     def load(cls, path: str | Path) -> "ColPmlIndex":
         z = np.load(path if str(path).endswith(".npz") else f"{path}.npz")
-        n, r, bwt_r = (int(v) for v in z["meta"])
+        meta = [int(v) for v in z["meta"]]
+        n, r, bwt_r = meta[:3]
+        ff = meta[3] if len(meta) > 3 else 0
         return cls(
             char=z["char"], idx=z["idx"], length=z["length"],
             dest_interval=z["dest_interval"], dest_offset=z["dest_offset"],
             col_id=z["col_id"], threshold=z["threshold"],
             pred_jump=z["pred_jump"], succ_jump=z["succ_jump"],
             alphabet=z["alphabet"], char_map=z["char_map"],
-            n=n, r=r, bwt_r=bwt_r,
+            n=n, r=r, bwt_r=bwt_r, ff_bound=ff,
         )
 
     def nbytes(self) -> int:

@@ -57,10 +57,22 @@ def _gather(arr, i):
     return jnp.take(arr, i, axis=0, mode="clip")
 
 
-def lf_fast_forward(length: jnp.ndarray, di: jnp.ndarray, doff: jnp.ndarray
-                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched run fast-forward: while offset overflows the destination run,
-    subtract and advance (include/ds/LF_table.hpp:256-259)."""
+def lf_fast_forward(length: jnp.ndarray, di: jnp.ndarray, doff: jnp.ndarray,
+                    ff_bound: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched run fast-forward (include/ds/LF_table.hpp:256-259).
+
+    ff_bound == 0: dynamic while_loop until every lane lands (correct for any
+    table).  ff_bound == K > 0: K-1 statically unrolled conditional advances —
+    valid only for tables split by ops.run_split so every LF image spans <= K
+    runs; no dynamic control flow remains in the step (fast compile + fast
+    TPU schedule)."""
+    if ff_bound > 0:
+        for _ in range(ff_bound - 1):
+            ln = _gather(length, di)
+            over = doff >= ln
+            di = di + over.astype(jnp.int32)
+            doff = doff - jnp.where(over, ln, 0)
+        return di, doff
 
     def cond(state):
         di, doff = state
@@ -77,7 +89,7 @@ def lf_fast_forward(length: jnp.ndarray, di: jnp.ndarray, doff: jnp.ndarray
 
 
 def query_step(tb: dict[str, jnp.ndarray], state, c: jnp.ndarray,
-               valid: jnp.ndarray):
+               valid: jnp.ndarray, ff_bound: int = 0):
     """One backward character step for the whole batch.
 
     state = (interval, offset, pos, length), all (B,) int32.
@@ -112,7 +124,7 @@ def query_step(tb: dict[str, jnp.ndarray], state, c: jnp.ndarray,
     di = _gather(tb["dest_interval"], new_interval)
     doff = _gather(tb["dest_offset"], new_interval) + new_offset
     new_pos = _gather(tb["idx"], di) + doff
-    di, doff = lf_fast_forward(tb["length"], di, doff)
+    di, doff = lf_fast_forward(tb["length"], di, doff, ff_bound)
 
     # frozen lanes (padding) keep their state
     interval = jnp.where(valid, di, interval)
@@ -124,9 +136,10 @@ def query_step(tb: dict[str, jnp.ndarray], state, c: jnp.ndarray,
     return (interval, offset, pos, length), (pml_out, cid_out)
 
 
-@functools.partial(jax.jit, static_argnames=("unroll",))
+@functools.partial(jax.jit, static_argnames=("unroll", "ff_bound"))
 def query_batch_device(tb: dict[str, jnp.ndarray], patterns: jnp.ndarray,
-                       lengths: jnp.ndarray, unroll: int = 1
+                       lengths: jnp.ndarray, unroll: int = 1,
+                       ff_bound: int = 0
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run the full backward scan for a (B, M) right-aligned batch.
 
@@ -148,7 +161,7 @@ def query_batch_device(tb: dict[str, jnp.ndarray], patterns: jnp.ndarray,
     def body(state, xs):
         c, i = xs
         valid = i < lengths  # right-aligned: step i valid while i < m
-        return query_step(tb, state, c, valid)
+        return query_step(tb, state, c, valid, ff_bound)
 
     _, (pml_steps, cid_steps) = jax.lax.scan(
         body, (interval0, offset0, pos0, length0), (cols, steps), unroll=unroll)
@@ -159,12 +172,17 @@ def query_batch_device(tb: dict[str, jnp.ndarray], patterns: jnp.ndarray,
 
 
 def query_batch(index: ColPmlIndex, patterns: list[bytes],
-                max_len: int | None = None
+                max_len: int | None = None, ff_bound: int | None = None
                 ) -> tuple[list[np.ndarray], list[np.ndarray]]:
-    """Convenience host API: encode, run on device, unpad."""
+    """Convenience host API: encode, run on device, unpad.
+
+    ff_bound defaults to the index's recorded bound (0 = unbounded table,
+    dynamic while_loop)."""
     tb = index_device_arrays(index)
     enc, lens = index.encode_patterns(patterns, max_len)
-    pml, cid = query_batch_device(tb, jnp.asarray(enc), jnp.asarray(lens))
+    k = index.ff_bound if ff_bound is None else ff_bound
+    pml, cid = query_batch_device(tb, jnp.asarray(enc), jnp.asarray(lens),
+                                  ff_bound=k)
     pml = np.asarray(pml)
     cid = np.asarray(cid)
     M = enc.shape[1]

@@ -1,0 +1,112 @@
+"""Move-structure run splitting: bound the LF fast-forward at K steps.
+
+The reference's LF walk (include/ds/LF_table.hpp:256-259) advances through
+destination runs until the offset fits — unbounded in the worst case.  Movi
+bounds it by Nishimoto–Tabei-style run splitting [inferred, SURVEY §2.2]: here
+we split source runs until every run's LF image overlaps at most `k` runs, so
+the device kernel can replace the data-dependent while-loop with k-1 statically
+unrolled conditional advances (pure gathers, no dynamic control flow — the
+XLA-friendly shape).
+
+Splitting is semantics-preserving for the query recurrence: sub-runs inherit
+char / col_id / threshold, pred/succ jump targets land on the same rank
+coordinates (first/last piece boundaries coincide with the original run's),
+and LF is the same function of rank positions.  Differential tests assert
+exact output equality split vs unsplit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from colbwt_tpu.ops.oracle import LFTableArrays, build_lf_table
+
+
+def _lf_dest_positions(char: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Rank-coordinate LF destination start of each run (F start)."""
+    f_order = np.argsort(char, kind="stable")
+    f_start = np.zeros(char.size, dtype=np.int64)
+    f_start[1:] = np.cumsum(lens[f_order][:-1])
+    dest = np.empty(char.size, dtype=np.int64)
+    dest[f_order] = f_start
+    return dest
+
+
+def split_runs_bounded_ff(tbl: LFTableArrays, k: int = 4, max_rounds: int = 64
+                          ) -> LFTableArrays:
+    """Return a new LF table whose every run's LF image spans <= k runs.
+
+    Iterates: find violating runs, cut them at the pre-images of every k-th
+    overlapped run boundary, rebuild.  Converges because each round only adds
+    boundaries and the image-span of any piece is bounded by its source length.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    char = np.asarray(tbl.char, dtype=np.uint8)
+    lens = np.asarray(tbl.length, dtype=np.int64)
+    col_id = None if tbl.col_id is None else np.asarray(tbl.col_id)
+    thr = None if tbl.threshold is None else np.asarray(tbl.threshold, dtype=np.int64)
+
+    for _ in range(max_rounds):
+        r = char.size
+        starts = np.zeros(r, dtype=np.int64)
+        starts[1:] = np.cumsum(lens[:-1])
+        dest = _lf_dest_positions(char, lens)
+        lo = np.searchsorted(starts, dest, side="right") - 1
+        hi = np.searchsorted(starts, dest + lens - 1, side="right") - 1
+        span = hi - lo + 1
+        bad = np.flatnonzero(span > k)
+        if bad.size == 0:
+            break
+
+        # build per-run cut offset lists (host loop over violators only)
+        pieces_char: list[np.ndarray] = []
+        pieces_len: list[np.ndarray] = []
+        pieces_cid: list[np.ndarray] = []
+        pieces_thr: list[np.ndarray] = []
+        bad_set = set(bad.tolist())
+        for i in range(r):
+            if i in bad_set:
+                # run boundaries strictly inside the image (dest, dest+len)
+                inner = starts[lo[i] + 1:hi[i] + 1]
+                # keep every k-th boundary as a cut
+                cuts = inner[k - 1::k] - dest[i]
+                cuts = cuts[(cuts > 0) & (cuts < lens[i])]
+                bounds = np.r_[0, cuts, lens[i]]
+                plens = np.diff(bounds)
+            else:
+                plens = lens[i:i + 1]
+            m = plens.size
+            pieces_len.append(plens)
+            pieces_char.append(np.full(m, char[i], dtype=np.uint8))
+            if col_id is not None:
+                pieces_cid.append(np.full(m, col_id[i], dtype=col_id.dtype))
+            if thr is not None:
+                pieces_thr.append(np.full(m, thr[i], dtype=np.int64))
+        char = np.concatenate(pieces_char)
+        lens = np.concatenate(pieces_len)
+        if col_id is not None:
+            col_id = np.concatenate(pieces_cid)
+        if thr is not None:
+            thr = np.concatenate(pieces_thr)
+    else:
+        raise RuntimeError(f"run splitting did not converge to k={k}")
+
+    out = build_lf_table(char, lens)
+    out.col_id = col_id
+    out.threshold = thr
+    out.bwt_r = tbl.bwt_r
+    return out
+
+
+def max_ff_span(tbl: LFTableArrays) -> int:
+    """Largest number of runs any run's LF image overlaps (the fast-forward
+    bound actually achieved)."""
+    char = np.asarray(tbl.char, dtype=np.uint8)
+    lens = np.asarray(tbl.length, dtype=np.int64)
+    starts = np.zeros(char.size, dtype=np.int64)
+    starts[1:] = np.cumsum(lens[:-1])
+    dest = _lf_dest_positions(char, lens)
+    lo = np.searchsorted(starts, dest, side="right") - 1
+    hi = np.searchsorted(starts, dest + lens - 1, side="right") - 1
+    return int((hi - lo + 1).max(initial=1))

@@ -6,12 +6,20 @@ xla_force_host_platform_device_count so N-way sharding runs without a pod).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: this machine globally sets JAX_PLATFORMS=axon (the
+# tunneled TPU); tests must run on the virtual CPU mesh.  The axon
+# sitecustomize imports jax at interpreter start, so env vars alone are too
+# late — jax.config.update is required (works as long as no backend has been
+# initialized yet).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
