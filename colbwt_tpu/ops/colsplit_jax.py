@@ -1,0 +1,210 @@
+"""Device-side col-split: batched FL walking over all multi-MUMs at once.
+
+The reference walks each MUM's BWT range forward one FL step at a time,
+sequentially per MUM (col_split::split, include/col_split.hpp:54-136; the
+SURVEY §3.2 hot loop).  The TPU formulation advances *every* MUM in lockstep:
+
+- **Tunneled mode** (the O(r + n/d) headline mode): a MUM's range survives
+  only while its FL image stays contiguous, so its whole walk is a single
+  (position, alive) state per MUM.  Fragmentation of [p, p+N) is detected
+  without materializing the range: it fragments iff a run boundary falls
+  inside, i.e. interval(p) != interval(p+N-1) — two vectorized searchsorteds.
+  Cost per step: O(M log r) gathers, independent of N (so the
+  10k-document configs are in reach; the reference pays O(N) per step).
+
+- **All mode**: ranges fragment and persist; we decompose each MUM's N-high
+  range into N unit walkers.  A fragment splits between walker d-1 and d
+  exactly when walker d's position is a run head, and splits are permanent —
+  so a walker is a fragment head iff d == 0 or any of its past positions was
+  a run head.  Fragment heights are segment sizes of the cumulative-split ids.
+  Requires N <= 64 here (cost O(M·N) per step); big-N All-mode falls back to
+  the host oracle.
+
+Mark-merge semantics (collect_ids, include/col_split.hpp:114-127) are
+reproduced order-independently: Tunneled keeps the last mark in reference
+visit order (MUM position order, then step); All keeps the first mark in
+visit order among those of maximal height.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colbwt_tpu.ops.oracle import FLTableArrays
+
+
+def fl_device_arrays(fl: FLTableArrays) -> dict[str, jnp.ndarray]:
+    return {
+        "idx": jnp.asarray(fl.idx, dtype=jnp.int32),
+        "dest_interval": jnp.asarray(fl.dest_interval, dtype=jnp.int32),
+        "dest_offset": jnp.asarray(fl.dest_offset, dtype=jnp.int32),
+    }
+
+
+def _fl_unit(fd, p):
+    """Forward-step rank positions: p -> rank of the next text position.
+    Exact position arithmetic — no run fast-forward needed
+    (FL preserves idx[dest] + dest_offset + offset, include/ds/FL_table.hpp:227-238)."""
+    i = jnp.searchsorted(fd["idx"], p, side="right").astype(jnp.int32) - 1
+    di = jnp.take(fd["dest_interval"], i, mode="clip")
+    doff = jnp.take(fd["dest_offset"], i, mode="clip")
+    return jnp.take(fd["idx"], di, mode="clip") + doff + (p - jnp.take(fd["idx"], i, mode="clip"))
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "rate", "num_docs"))
+def _tunneled_walk(fd, p0: jnp.ndarray, lens: jnp.ndarray,
+                   num_steps: int, rate: int, num_docs: int):
+    """Scan all MUM walkers num_steps forward.
+
+    Returns (mark_pos (T, M), mark_valid (T, M)): step t0 marks position
+    p^(t0+1) when the range is still whole, t0 % rate == 0 and t0 < len
+    (loop structure of include/col_split.hpp:70-99)."""
+
+    def step(carry, t0):
+        p, alive = carry
+        i_lo = jnp.searchsorted(fd["idx"], p, side="right")
+        i_hi = jnp.searchsorted(fd["idx"], p + num_docs - 1, side="right")
+        frag = i_lo != i_hi
+        alive = alive & ~frag
+        p_next = _fl_unit(fd, p)
+        valid = alive & (t0 % rate == 0) & (t0 < lens)
+        return (p_next, alive), (p_next, valid)
+
+    (_, _), (pos, valid) = jax.lax.scan(
+        step, (p0, jnp.ones_like(p0, dtype=bool)),
+        jnp.arange(num_steps, dtype=jnp.int32))
+    return pos, valid
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "rate", "num_docs"))
+def _all_walk(fd, p0: jnp.ndarray, lens: jnp.ndarray,
+              num_steps: int, rate: int, num_docs: int):
+    """All-mode walkers: p0 (M,) start positions -> per-step fragment marks.
+
+    Returns (pos (T, M, N), height (T, M, N), valid (T, M, N)) where valid
+    selects fragment-head walkers of active MUMs at marking steps."""
+    M = p0.shape[0]
+    N = num_docs
+    d = jnp.arange(N, dtype=jnp.int32)
+    p = p0[:, None] + d[None, :]
+    sep0 = jnp.zeros((M, N), dtype=bool)
+
+    def step(carry, t0):
+        p, sep = carry
+        active = (t0 < lens)[:, None]
+        i = jnp.searchsorted(fd["idx"], p.reshape(-1), side="right").reshape(M, N) - 1
+        is_head = p == jnp.take(fd["idx"], i, mode="clip")
+        new_sep = sep | (is_head & active & (d[None, :] > 0))
+        p_next = _fl_unit(fd, p.reshape(-1)).reshape(M, N)
+        p_next = jnp.where(active, p_next, p)
+        # fragment ids and sizes
+        fid = jnp.cumsum(new_sep.astype(jnp.int32), axis=1)
+        sizes = jnp.sum(fid[:, :, None] == fid[:, None, :], axis=1)
+        first = new_sep | (d[None, :] == 0)
+        valid = first & active & ((t0 % rate) == 0)
+        return (p_next, new_sep), (p_next, sizes, valid)
+
+    (_, _), (pos, height, valid) = jax.lax.scan(
+        step, (p, sep0), jnp.arange(num_steps, dtype=jnp.int32))
+    return pos, height, valid
+
+
+def _bin_id(ids: np.ndarray, id_bits: int) -> np.ndarray:
+    id_max = 1 << id_bits
+    ids = np.asarray(ids, dtype=np.int64)
+    return np.where(ids >= id_max, (ids % (id_max - 1)) + 1, ids)
+
+
+def col_split_jax(fl: FLTableArrays, mum_lens: np.ndarray, mum_pos: np.ndarray,
+                  num_docs: int, split_rate: int = 10, mode: str = "tunnels",
+                  id_bits: int = 8, step_budget: int = 1 << 24
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Device col-split; same outputs as oracle.col_split_oracle:
+    (mark_positions sorted, mark_ids binned, mark_heights)."""
+    order = np.argsort(np.asarray(mum_pos), kind="stable")
+    pos_sorted = np.asarray(mum_pos, dtype=np.int64)[order]
+    len_sorted = np.asarray(mum_lens, dtype=np.int64)[order]
+    c_ids = np.arange(1, order.size + 1, dtype=np.int64)
+    M = order.size
+    if M == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+
+    tunneled = mode in ("tunnels", "tunneled")
+    if not tunneled and num_docs > 64:
+        from colbwt_tpu.ops.oracle import col_split_oracle
+        return col_split_oracle(fl, mum_lens, mum_pos, num_docs, split_rate,
+                                mode, id_bits)
+
+    fd = fl_device_arrays(fl)
+
+    # bucket MUMs (ascending length) so T * M_bucket walk area stays bounded
+    by_len = np.argsort(len_sorted, kind="stable")
+    g_t = int(len_sorted.max()) + 1  # global visit-key stride across buckets
+    all_pos: list[np.ndarray] = []
+    all_ids: list[np.ndarray] = []
+    all_heights: list[np.ndarray] = []
+    all_visit: list[np.ndarray] = []
+
+    start = 0
+    while start < M:
+        end = start + 1
+        while end < M:
+            area = int(len_sorted[by_len[end]]) * (end + 1 - start)
+            if not tunneled:
+                area *= num_docs
+            if area > step_budget:
+                break
+            end += 1
+        sel = by_len[start:end]
+        T = int(len_sorted[sel].max())
+        p0 = jnp.asarray(pos_sorted[sel], dtype=jnp.int32)
+        lens_j = jnp.asarray(len_sorted[sel], dtype=jnp.int32)
+
+        if tunneled:
+            pos_t, valid_t = _tunneled_walk(fd, p0, lens_j, T, split_rate, num_docs)
+            pos_np = np.asarray(pos_t)          # (T, Mb)
+            val_np = np.asarray(valid_t)
+            t_idx, m_idx = np.nonzero(val_np)
+            all_pos.append(pos_np[t_idx, m_idx].astype(np.int64))
+            all_ids.append(c_ids[sel][m_idx])
+            all_heights.append(np.full(t_idx.size, num_docs, dtype=np.int64))
+            # visit key: (c_id, t) lexicographic, comparable across buckets
+            all_visit.append(c_ids[sel][m_idx] * g_t + t_idx)
+        else:
+            pos_t, h_t, valid_t = _all_walk(fd, p0, lens_j, T, split_rate, num_docs)
+            pos_np = np.asarray(pos_t)          # (T, Mb, N)
+            h_np = np.asarray(h_t)
+            val_np = np.asarray(valid_t)
+            t_idx, m_idx, d_idx = np.nonzero(val_np)
+            all_pos.append(pos_np[t_idx, m_idx, d_idx].astype(np.int64))
+            all_ids.append(c_ids[sel][m_idx])
+            all_heights.append(h_np[t_idx, m_idx, d_idx].astype(np.int64))
+            all_visit.append((c_ids[sel][m_idx] * g_t + t_idx) * (num_docs + 1)
+                             + d_idx)
+        start = end
+
+    pos_all = np.concatenate(all_pos)
+    ids_all = _bin_id(np.concatenate(all_ids), id_bits)
+    h_all = np.concatenate(all_heights)
+    visit = np.concatenate(all_visit)
+    if pos_all.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+
+    if tunneled:
+        # last mark in visit order wins per position
+        o = np.lexsort((visit, pos_all))
+        pos_s, ids_s, h_s = pos_all[o], ids_all[o], h_all[o]
+        last = np.r_[pos_s[1:] != pos_s[:-1], True]
+        return pos_s[last], ids_s[last], h_s[last]
+    else:
+        # first mark (visit order) among maximal heights wins per position
+        o = np.lexsort((visit, -h_all, pos_all))
+        pos_s, ids_s, h_s = pos_all[o], ids_all[o], h_all[o]
+        firsts = np.r_[True, pos_s[1:] != pos_s[:-1]]
+        return pos_s[firsts], ids_s[firsts], h_s[firsts]

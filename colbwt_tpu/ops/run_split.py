@@ -55,40 +55,32 @@ def split_runs_bounded_ff(tbl: LFTableArrays, k: int = 4, max_rounds: int = 64
         lo = np.searchsorted(starts, dest, side="right") - 1
         hi = np.searchsorted(starts, dest + lens - 1, side="right") - 1
         span = hi - lo + 1
-        bad = np.flatnonzero(span > k)
+        counts = np.maximum((span - 1) // k, 0)  # cuts per run
+        bad = np.flatnonzero(counts > 0)
         if bad.size == 0:
             break
 
-        # build per-run cut offset lists (host loop over violators only)
-        pieces_char: list[np.ndarray] = []
-        pieces_len: list[np.ndarray] = []
-        pieces_cid: list[np.ndarray] = []
-        pieces_thr: list[np.ndarray] = []
-        bad_set = set(bad.tolist())
-        for i in range(r):
-            if i in bad_set:
-                # run boundaries strictly inside the image (dest, dest+len)
-                inner = starts[lo[i] + 1:hi[i] + 1]
-                # keep every k-th boundary as a cut
-                cuts = inner[k - 1::k] - dest[i]
-                cuts = cuts[(cuts > 0) & (cuts < lens[i])]
-                bounds = np.r_[0, cuts, lens[i]]
-                plens = np.diff(bounds)
-            else:
-                plens = lens[i:i + 1]
-            m = plens.size
-            pieces_len.append(plens)
-            pieces_char.append(np.full(m, char[i], dtype=np.uint8))
-            if col_id is not None:
-                pieces_cid.append(np.full(m, col_id[i], dtype=col_id.dtype))
-            if thr is not None:
-                pieces_thr.append(np.full(m, thr[i], dtype=np.int64))
-        char = np.concatenate(pieces_char)
-        lens = np.concatenate(pieces_len)
+        # cut j of bad run i sits at image boundary starts[lo_i + k*j],
+        # translated back to a source offset and then a source coordinate —
+        # fully vectorized over all (run, cut) pairs
+        c = counts[bad]
+        rep = np.repeat(bad, c)
+        jj = np.arange(rep.size, dtype=np.int64) - np.repeat(
+            np.cumsum(c) - c, c) + 1
+        cut_abs = starts[rep] + (starts[lo[rep] + k * jj] - dest[rep])
+
+        bounds = np.concatenate([starts, cut_abs])
+        bounds.sort(kind="stable")
+        owner = np.searchsorted(starts, bounds, side="right") - 1
+        n_total = int(lens.sum())
+        new_lens = np.diff(np.r_[bounds, n_total])
+        keep = new_lens > 0  # duplicates would appear only if a cut hit a start
+        char = char[owner][keep]
+        lens = new_lens[keep]
         if col_id is not None:
-            col_id = np.concatenate(pieces_cid)
+            col_id = col_id[owner][keep]
         if thr is not None:
-            thr = np.concatenate(pieces_thr)
+            thr = thr[owner][keep]
     else:
         raise RuntimeError(f"run splitting did not converge to k={k}")
 

@@ -1,0 +1,122 @@
+"""Differential tests: device construction ops vs the NumPy oracle."""
+
+import numpy as np
+import pytest
+
+from colbwt_tpu.ops import construct_jax as CJ
+from colbwt_tpu.ops import colsplit_jax as CS
+from colbwt_tpu.ops import oracle as O
+from tests.conftest import random_docs
+
+
+def _pipeline(docs):
+    text, ranks, doc_ids = O.concat_collection(docs)
+    sa = O.suffix_array(ranks)
+    lcp = O.lcp_kasai(ranks, sa)
+    heads, lens = O.rle(O.bwt_from_sa(text, sa))
+    return text, ranks, doc_ids, sa, lcp, heads, lens
+
+
+def test_suffix_array_device_matches_oracle(rng):
+    for trial in range(4):
+        docs = random_docs(rng, int(rng.integers(1, 5)), lo=20, hi=150)
+        _, ranks, _ = O.concat_collection(docs)
+        sa_o = O.suffix_array(ranks)
+        sa_j, _ = CJ.suffix_array_jax(ranks)
+        np.testing.assert_array_equal(sa_j, sa_o)
+
+
+def test_lcp_device_matches_oracle(rng):
+    for trial in range(4):
+        docs = random_docs(rng, 3, lo=30, hi=120)
+        _, ranks, _ = O.concat_collection(docs)
+        sa_j, _, pyramid = CJ.suffix_array_jax(ranks, with_pyramid=True)
+        lcp_j = CJ.lcp_jax(ranks, sa_j, pyramid)
+        lcp_o = O.lcp_kasai(ranks, np.asarray(sa_j))
+        np.testing.assert_array_equal(lcp_j, lcp_o)
+
+
+def test_lcp_repetitive_text(rng):
+    # heavy repeats stress the lifting decomposition
+    docs = [b"ACGT" * 30, b"ACGT" * 30 + b"A", b"ACGTACGT" * 15]
+    _, ranks, _ = O.concat_collection(docs)
+    sa_j, _, pyramid = CJ.suffix_array_jax(ranks, with_pyramid=True)
+    lcp_j = CJ.lcp_jax(ranks, sa_j, pyramid)
+    np.testing.assert_array_equal(lcp_j, O.lcp_kasai(ranks, np.asarray(sa_j)))
+
+
+@pytest.mark.parametrize("n_docs", [2, 3, 5, 8])
+def test_multi_mums_device_matches_oracle(rng, n_docs):
+    base = bytes(rng.choice(list(b"ACGT"), 150).astype("uint8"))
+    docs = random_docs(rng, n_docs, mutate_from=base)
+    text, ranks, doc_ids, sa, lcp, heads, lens = _pipeline(docs)
+    for min_mum in (4, 10):
+        lo, po = O.find_multi_mums(ranks, sa, lcp, doc_ids, n_docs, min_mum)
+        lj, pj = CJ.find_multi_mums_jax(ranks, sa, lcp, doc_ids, n_docs, min_mum)
+        np.testing.assert_array_equal(pj, po)
+        np.testing.assert_array_equal(lj, lo)
+
+
+def test_thresholds_device_matches_oracle(rng):
+    for trial in range(4):
+        docs = random_docs(rng, 3, lo=40, hi=120)
+        _, ranks, _, sa, lcp, heads, lens = _pipeline(docs)
+        thr_o = O.compute_thresholds(heads, lens, lcp)
+        thr_j = CJ.compute_thresholds_jax(heads, lens, lcp)
+        np.testing.assert_array_equal(thr_j, thr_o)
+
+
+@pytest.mark.parametrize("mode,rate", [("tunnels", 1), ("tunnels", 3),
+                                       ("all", 1), ("all", 2)])
+def test_colsplit_device_matches_oracle(rng, mode, rate):
+    base = bytes(rng.choice(list(b"ACGT"), 200).astype("uint8"))
+    docs = random_docs(rng, 3, mutate_from=base)
+    text, ranks, doc_ids, sa, lcp, heads, lens = _pipeline(docs)
+    fl = O.build_fl_table(heads, lens)
+    ml, mp = O.find_multi_mums(ranks, sa, lcp, doc_ids, 3, 6)
+    assert ml.size > 0
+    po, io_, ho = O.col_split_oracle(fl, ml, mp, 3, rate, mode)
+    pj, ij, hj = CS.col_split_jax(fl, ml, mp, 3, rate, mode)
+    np.testing.assert_array_equal(pj, po, err_msg="mark positions")
+    np.testing.assert_array_equal(hj, ho, err_msg="mark heights")
+    np.testing.assert_array_equal(ij, io_, err_msg="mark ids")
+
+
+def test_colsplit_device_bucketing(rng):
+    """Tiny step budget forces many buckets; results must be unchanged."""
+    base = bytes(rng.choice(list(b"ACGT"), 300).astype("uint8"))
+    docs = random_docs(rng, 4, mutate_from=base)
+    text, ranks, doc_ids, sa, lcp, heads, lens = _pipeline(docs)
+    fl = O.build_fl_table(heads, lens)
+    ml, mp = O.find_multi_mums(ranks, sa, lcp, doc_ids, 4, 5)
+    ref = CS.col_split_jax(fl, ml, mp, 4, 2, "tunnels")
+    small = CS.col_split_jax(fl, ml, mp, 4, 2, "tunnels", step_budget=8)
+    for a, b in zip(ref, small):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_full_device_construction_equals_host(rng):
+    """End-to-end: device-op pipeline == oracle pipeline, through col_runs."""
+    base = bytes(rng.choice(list(b"ACGT"), 250).astype("uint8"))
+    docs = random_docs(rng, 3, mutate_from=base)
+    text, ranks, doc_ids = O.concat_collection(docs)
+
+    sa_j, _, pyr = CJ.suffix_array_jax(ranks, with_pyramid=True)
+    lcp_j = CJ.lcp_jax(ranks, sa_j, pyr)
+    heads, lens = O.rle(O.bwt_from_sa(text, np.asarray(sa_j)))
+    fl = O.build_fl_table(heads, lens)
+    ml, mp = CJ.find_multi_mums_jax(ranks, sa_j, lcp_j, doc_ids, 3, 6)
+    mpos, mids, mhts = CS.col_split_jax(fl, ml, mp, 3, 2, "tunnels")
+    bits_j, ids_j = O.find_col_runs_oracle(mpos, mids, mhts, fl.l_heads, fl.n)
+    thr_j = CJ.compute_thresholds_jax(heads, lens, lcp_j)
+
+    # oracle pipeline
+    sa_o = O.suffix_array(ranks)
+    lcp_o = O.lcp_kasai(ranks, sa_o)
+    ml_o, mp_o = O.find_multi_mums(ranks, sa_o, lcp_o, doc_ids, 3, 6)
+    po, io_, ho = O.col_split_oracle(fl, ml_o, mp_o, 3, 2, "tunnels")
+    bits_o, ids_o = O.find_col_runs_oracle(po, io_, ho, fl.l_heads, fl.n)
+
+    np.testing.assert_array_equal(bits_j, bits_o)
+    np.testing.assert_array_equal(ids_j, ids_o)
+    np.testing.assert_array_equal(thr_j, O.compute_thresholds(heads, lens, lcp_o))
