@@ -1,0 +1,110 @@
+"""col-bwt command-line interface.
+
+Flag-compatible with the reference orchestrator (scripts/col-bwt.py:200-248):
+
+    col-bwt build [-i INPUT] -o OUTPUT [-r] [-m MODE] [-s SUB_SAMPLE]
+                  [-l MIN_MUM] [-v] [--force] [--keep] [--clean] [fastas ...]
+    col-bwt query INDEX -p PATTERN [--text]
+
+(the reference README shows a `-o` on query that its parser never defined,
+SURVEY §2.5 — we accept `--text` instead to also emit the .pml/.cid text
+files of the in-repo alt path.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from colbwt_tpu.utils.config import ColBwtConfig, SplitMode
+
+ASCII_ART = r"""
+        colbwt-tpu — pangenomic chain statistics on TPU
+"""
+
+CLEAN_EXTS = ["bwt", "thr_pos", "col_mums", "bwt.heads", "bwt.len",
+              "col_ids", "col_runs"]
+
+
+def _build(args: argparse.Namespace) -> int:
+    from colbwt_tpu.pipeline import build_pipeline
+
+    if not args.fastas and not args.input:
+        print("Error: either positional 'fastas' or -i/--input is required.",
+              file=sys.stderr)
+        return 1
+    cfg = ColBwtConfig(
+        mode=SplitMode(args.mode), split_rate=args.sub_sample,
+        min_mum=args.min_mum, rev_comp=args.rev_comp, verbose=args.verbose,
+        force=args.force, keep_temp=args.keep)
+    build_pipeline(args.fastas, args.output, cfg, filelist=args.input)
+    if args.clean:
+        fa = f"{args.output}.fa"
+        for ext in CLEAN_EXTS:
+            Path(f"{fa}.{ext}").unlink(missing_ok=True)
+        Path(f"{args.output}.lengths").unlink(missing_ok=True)
+    print(f"Index output at {args.output}.colpml.npz")
+    return 0
+
+
+def _query(args: argparse.Namespace) -> int:
+    from colbwt_tpu.pipeline import query_pipeline
+
+    cfg = ColBwtConfig(verbose=args.verbose)
+    query_pipeline(args.index, args.pattern, cfg, write_text=args.text)
+    print(f"Output at {args.pattern}.split.pml.bin and "
+          f"{args.pattern}.split.cid.bin")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="col-bwt",
+        description="Full-text index for pangenomes using chain statistics "
+                    "(TPU-native)")
+    sub = parser.add_subparsers(dest="command")
+
+    b = sub.add_parser("build", help="Find multi-MUMs and build the col-bwt")
+    b.add_argument("fastas", nargs="*", type=str,
+                   help="fasta files to index")
+    b.add_argument("-i", "--input", type=str,
+                   help="file-list of genomes (overrides positional args)")
+    b.add_argument("-o", "--output", required=True, type=str,
+                   help="output prefix path")
+    b.add_argument("-r", "--rev_comp", action="store_true", default=False,
+                   help="include reverse complements")
+    b.add_argument("-m", "--mode", type=str, default="tunnels",
+                   choices=["tunnels", "all"], help="splitting mode")
+    b.add_argument("-s", "--sub-sample", type=int, default=10,
+                   help="sub-sample (split) rate")
+    b.add_argument("-l", "--min-mum", type=int, default=20,
+                   help="minimum multi-MUM length")
+    b.add_argument("-v", "--verbose", action="store_true")
+    b.add_argument("--force", action="store_true",
+                   help="force all build steps to run")
+    b.add_argument("--keep", action="store_true",
+                   help="keep all temporary files")
+    b.add_argument("--clean", action="store_true",
+                   help="remove all intermediate files")
+
+    q = sub.add_parser("query", help="Compute PMLs and chain statistics")
+    q.add_argument("index", type=str, help="output prefix of the build")
+    q.add_argument("-p", "--pattern", required=True, type=str,
+                   help="pattern fasta file")
+    q.add_argument("--text", action="store_true",
+                   help="also write .pml/.cid text outputs")
+    q.add_argument("-v", "--verbose", action="store_true")
+
+    args = parser.parse_args(argv)
+    if args.command == "build":
+        return _build(args)
+    if args.command == "query":
+        return _query(args)
+    print(ASCII_ART)
+    parser.print_help()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

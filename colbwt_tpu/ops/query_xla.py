@@ -88,32 +88,46 @@ def lf_fast_forward(length: jnp.ndarray, di: jnp.ndarray, doff: jnp.ndarray,
     return jax.lax.while_loop(cond, body, (di, doff))
 
 
+def _gather_jump(tb, which: str, c, interval):
+    flat = c * tb[which].shape[1] + interval
+    return jnp.take(tb[which].reshape(-1), flat, mode="clip")
+
+
 def query_step(tb: dict[str, jnp.ndarray], state, c: jnp.ndarray,
-               valid: jnp.ndarray, ff_bound: int = 0):
+               valid: jnp.ndarray, ff_bound: int = 0,
+               gather=None, gather_jump=None):
     """One backward character step for the whole batch.
 
     state = (interval, offset, pos, length), all (B,) int32.
     Returns (new_state, (pml_out, cid_out)).
+
+    `gather(field_name, indices)` / `gather_jump(which, c, interval)` abstract
+    the table access so the interval-sharded engine (parallel.query_sharded)
+    can substitute masked-gather + psum collectives while reusing these exact
+    recurrence semantics.
     """
     interval, offset, pos, length = state
     r = tb["r"]
     n = tb["n"]
+    if gather is None:
+        gather = lambda name, i: _gather(tb[name], i)  # noqa: E731
+    if gather_jump is None:
+        gather_jump = lambda which, cc, ii: _gather_jump(tb, which, cc, ii)  # noqa: E731
 
-    cid_out = _gather(tb["col_id"], interval)
-    run_char = _gather(tb["char"], interval)
+    cid_out = gather("col_id", interval)
+    run_char = gather("char", interval)
     match = run_char == c
 
     # threshold repositioning (computed for every lane, selected on mismatch)
-    flat = c * tb["succ_jump"].shape[1] + interval
-    si = jnp.take(tb["succ_jump"].reshape(-1), flat, mode="clip")
-    pi = jnp.take(tb["pred_jump"].reshape(-1), flat, mode="clip")
+    si = gather_jump("succ_jump", c, interval)
+    pi = gather_jump("pred_jump", c, interval)
     has_succ = si < r
     has_pred = pi >= 0
-    thr = jnp.where(has_succ, _gather(tb["threshold"], si), n)
+    thr = jnp.where(has_succ, gather("threshold", si), n)
     use_pred = (pos < thr) & has_pred
     # no succ and no pred -> keep current (reference keeps state unchanged)
     ti = jnp.where(use_pred, pi, jnp.where(has_succ, si, interval))
-    toff = jnp.where(use_pred, _gather(tb["length"], pi) - 1,
+    toff = jnp.where(use_pred, gather("length", pi) - 1,
                      jnp.where(has_succ, jnp.zeros_like(offset), offset))
 
     new_interval = jnp.where(match, interval, ti)
@@ -121,10 +135,17 @@ def query_step(tb: dict[str, jnp.ndarray], state, c: jnp.ndarray,
     new_length = jnp.where(match, length + 1, 0)
 
     # LF step (include/ds/LF_table.hpp:251-268)
-    di = _gather(tb["dest_interval"], new_interval)
-    doff = _gather(tb["dest_offset"], new_interval) + new_offset
-    new_pos = _gather(tb["idx"], di) + doff
-    di, doff = lf_fast_forward(tb["length"], di, doff, ff_bound)
+    di = gather("dest_interval", new_interval)
+    doff = gather("dest_offset", new_interval) + new_offset
+    new_pos = gather("idx", di) + doff
+    if ff_bound > 0:
+        for _ in range(ff_bound - 1):
+            ln = gather("length", di)
+            over = doff >= ln
+            di = di + over.astype(jnp.int32)
+            doff = doff - jnp.where(over, ln, 0)
+    else:
+        di, doff = lf_fast_forward(tb["length"], di, doff, ff_bound)
 
     # frozen lanes (padding) keep their state
     interval = jnp.where(valid, di, interval)

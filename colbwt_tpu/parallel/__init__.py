@@ -1,0 +1,2 @@
+from colbwt_tpu.parallel.mesh import make_mesh, shard_index, shard_reads  # noqa: F401
+from colbwt_tpu.parallel.query_sharded import query_batch_sharded  # noqa: F401

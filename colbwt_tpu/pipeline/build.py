@@ -1,0 +1,269 @@
+"""Staged, artifact-checkpointed build pipeline.
+
+Behavioral equivalent of the reference orchestrator (scripts/col-bwt.py:94-189):
+every stage writes its artifacts next to the output prefix, a stage is skipped
+when its artifacts already exist (file-existence resumability, SURVEY §5.3),
+--force re-runs everything, and a failed stage removes its partial artifacts.
+
+Stage map (reference stage → ours):
+
+  mumemto mum -K -R -T      → stage_mums     (device SA/LCP/MUM/threshold ops)
+                              writes PREFIX.fa.bwt.heads/.bwt.len/.thr_pos/
+                              .col_mums/PREFIX.lengths
+  rlbwt_to_bwt              → stage_bwt      (PREFIX.fa.bwt)
+  build_FL                  → in-memory FL table (the reference's .FL_table is
+                              an internal handoff; rebuilt from the RLBWT in
+                              milliseconds, so no artifact)
+  col_split -m -s           → stage_colsplit (PREFIX.fa.col_runs [sdsl plain
+                              bit_vector] + PREFIX.fa.col_ids)
+  movi-split build          → stage_index    (PREFIX.colpml.npz: the
+                              run-split ColPmlIndex)
+  movi-split query          → query_pipeline (PATTERN.split.pml.bin/.cid.bin)
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from colbwt_tpu.io import formats as F
+from colbwt_tpu.io.fasta import read_fasta, reverse_complement
+from colbwt_tpu.io.pml_out import write_pml_cid_binary, write_pml_cid_text
+from colbwt_tpu.models.index import ColPmlIndex
+from colbwt_tpu.ops import oracle as O
+from colbwt_tpu.utils.config import ColBwtConfig
+from colbwt_tpu.utils.log import Timer, get_logger, status
+
+# below this n the host oracle beats device dispatch for construction
+_DEVICE_MIN_N = 1 << 18
+
+
+def _exists(*paths: Path) -> bool:
+    return all(p.exists() for p in paths)
+
+
+def _cleanup(paths: list[Path]) -> None:
+    for p in paths:
+        p.unlink(missing_ok=True)
+
+
+def load_documents(fastas: list[str], filelist: str | None,
+                   rev_comp: bool) -> list[bytes]:
+    """Collect one document per FASTA file (records concatenated), with
+    optional reverse complements appended (scripts/col-bwt.py:109-139)."""
+    files = list(fastas)
+    if filelist:
+        files = []
+        for line in Path(filelist).read_text().splitlines():
+            if line.strip():
+                files.append(line.split()[0])
+    docs = []
+    for f in files:
+        seq = b"".join(rec.seq for rec in read_fasta(f))
+        if rev_comp:
+            seq = seq + reverse_complement(seq)
+        docs.append(seq.upper())
+    return docs
+
+
+def stage_mums(docs: list[bytes], prefix: str, cfg: ColBwtConfig, logger):
+    """SA/LCP → RLBWT + thresholds + multi-MUMs, written to the mumemto file
+    contracts (SURVEY §2.4)."""
+    fa = f"{prefix}.fa"
+    outs = [Path(f"{fa}.bwt.heads"), Path(f"{fa}.bwt.len"),
+            Path(f"{fa}.thr_pos"), Path(f"{fa}.col_mums"),
+            Path(f"{prefix}.lengths")]
+    if _exists(*outs) and not cfg.force:
+        logger.info("[mums] artifacts exist, skipping")
+        return
+    try:
+        text, ranks, doc_ids = O.concat_collection(docs)
+        n = text.size
+        use_device = n >= _DEVICE_MIN_N
+        with status("suffix array + LCP", logger):
+            if use_device:
+                from colbwt_tpu.ops import construct_jax as CJ
+                sa, _, pyr = CJ.suffix_array_jax(ranks, with_pyramid=True)
+                lcp = CJ.lcp_jax(ranks, sa, pyr)
+                del pyr
+            else:
+                sa = O.suffix_array(ranks)
+                lcp = O.lcp_kasai(ranks, sa)
+        with status("BWT + RLE", logger):
+            heads, lens = O.rle(O.bwt_from_sa(text, sa))
+        with status("multi-MUMs", logger):
+            if use_device and 2 <= len(docs) <= 64:
+                from colbwt_tpu.ops import construct_jax as CJ
+                ml, mp = CJ.find_multi_mums_jax(
+                    ranks, sa, lcp, doc_ids, len(docs), cfg.min_mum)
+            else:
+                ml, mp = O.find_multi_mums(
+                    ranks, sa, lcp, doc_ids, len(docs), cfg.min_mum)
+        with status("thresholds", logger):
+            if use_device:
+                from colbwt_tpu.ops import construct_jax as CJ
+                thr = CJ.compute_thresholds_jax(heads, lens, lcp)
+            else:
+                thr = O.compute_thresholds(heads, lens, lcp)
+
+        F.write_rlbwt(fa, heads, lens, cfg.rw_bytes)
+        F.write_thresholds_file(f"{fa}.thr_pos", thr, cfg.rw_bytes)
+        F.write_col_mums(f"{fa}.col_mums", len(docs), ml, mp, cfg.rw_bytes)
+        Path(f"{prefix}.lengths").write_text(
+            "".join(f"{len(d)}\n" for d in docs))
+        logger.info("[mums] n=%d runs=%d multi-MUMs=%d", n, heads.size, ml.size)
+    except Exception:
+        _cleanup(outs)
+        raise
+
+
+def stage_bwt(prefix: str, cfg: ColBwtConfig, logger):
+    """Expand the RLBWT to PREFIX.fa.bwt (src/rlbwt_to_bwt.cpp:22-27)."""
+    fa = f"{prefix}.fa"
+    out = Path(f"{fa}.bwt")
+    if out.exists() and not cfg.force:
+        logger.info("[bwt] exists, skipping")
+        return
+    try:
+        heads, lens = F.read_rlbwt(fa, cfg.rw_bytes)
+        F.write_plain_bwt(out, heads, lens)
+    except Exception:
+        _cleanup([out])
+        raise
+
+
+def stage_colsplit(prefix: str, cfg: ColBwtConfig, logger):
+    """FL walk + interval sweep → .col_runs + .col_ids
+    (src/col_split.cpp:62-141)."""
+    fa = f"{prefix}.fa"
+    outs = [Path(f"{fa}.col_runs"), Path(f"{fa}.col_ids")]
+    if _exists(*outs) and not cfg.force:
+        logger.info("[colsplit] artifacts exist, skipping")
+        return
+    try:
+        heads, lens = F.read_rlbwt(fa, cfg.rw_bytes)
+        num_docs, ml, mp = F.read_col_mums(f"{fa}.col_mums", cfg.rw_bytes)
+        fl = O.build_fl_table(heads, lens)
+        with status("col-split FL walk", logger):
+            if fl.n >= _DEVICE_MIN_N or ml.size > 256:
+                from colbwt_tpu.ops.colsplit_jax import col_split_jax
+                mpos, mids, mhts = col_split_jax(
+                    fl, ml, mp, num_docs, cfg.split_rate, cfg.mode.value,
+                    cfg.id_bits)
+            else:
+                mpos, mids, mhts = O.col_split_oracle(
+                    fl, ml, mp, num_docs, cfg.split_rate, cfg.mode.value,
+                    cfg.id_bits)
+        with status("find_col_runs sweep", logger):
+            bits, ids = O.find_col_runs_oracle(mpos, mids, mhts, fl.l_heads, fl.n)
+        bv = np.zeros(fl.n, dtype=bool)
+        bv[bits] = True
+        F.write_sdsl_bit_vector(outs[0], bv)
+        F.write_col_ids(outs[1], ids, (cfg.id_bits + 7) // 8, cfg.id_bits)
+        logger.info("[colsplit] marks=%d col_runs bits=%d", mpos.size, bits.size)
+    except Exception:
+        _cleanup(outs)
+        raise
+
+
+def stage_index(prefix: str, cfg: ColBwtConfig, logger):
+    """Assemble the queryable run-split index (the movi-split build role)."""
+    fa = f"{prefix}.fa"
+    out = Path(f"{prefix}.colpml.npz")
+    if out.exists() and not cfg.force:
+        logger.info("[index] exists, skipping")
+        return
+    try:
+        heads, lens = F.read_rlbwt(fa, cfg.rw_bytes)
+        thr = F.read_thresholds_file(f"{fa}.thr_pos", cfg.rw_bytes)
+        bv = F.read_sdsl_bit_vector(f"{fa}.col_runs")
+        ids = F.read_col_ids(f"{fa}.col_ids")
+        bits = np.flatnonzero(bv)
+        with status("col_pml table", logger):
+            tbl = O.build_col_pml(heads, lens, bits, ids.astype(np.int64),
+                                  thr.astype(np.int64))
+        with status("run splitting", logger):
+            index = ColPmlIndex.build(tbl, ff_bound=cfg.ff_bound)
+        index.save(out.with_suffix(""))
+        logger.info("[index] r=%d (bwt_r=%d) ff_bound=%d bytes=%d",
+                    index.r, index.bwt_r, index.ff_bound, index.nbytes())
+    except Exception:
+        _cleanup([out])
+        raise
+
+
+def build_pipeline(fastas: list[str], output: str,
+                   cfg: ColBwtConfig | None = None,
+                   filelist: str | None = None) -> ColPmlIndex:
+    """`col-bwt build` (scripts/col-bwt.py:94-189): run every stage with
+    skipping + cleanup, return the loaded index."""
+    cfg = cfg or ColBwtConfig()
+    logger = get_logger("colbwt.build", cfg.verbose)
+    timer = Timer().start()
+    Path(output).parent.mkdir(parents=True, exist_ok=True)
+
+    docs = load_documents(fastas, filelist, cfg.rev_comp)
+    logger.info("documents: %d (total %d bases)", len(docs),
+                sum(len(d) for d in docs))
+    stage_mums(docs, output, cfg, logger)
+    stage_bwt(output, cfg, logger)
+    stage_colsplit(output, cfg, logger)
+    stage_index(output, cfg, logger)
+
+    if not cfg.keep_temp:
+        fa = f"{output}.fa"
+        _cleanup([Path(f"{fa}.bwt")])
+    timer.end()
+    logger.info("build complete in %.2fs", timer.start_duration)
+    return ColPmlIndex.load(f"{output}.colpml.npz")
+
+
+def query_pipeline(index_prefix: str, pattern_file: str,
+                   cfg: ColBwtConfig | None = None,
+                   write_text: bool = False) -> tuple[list, list, list]:
+    """`col-bwt query` (scripts/col-bwt.py:191-198): batched device queries,
+    outputs PATTERN.split.pml.bin/.split.cid.bin (+ optional .pml/.cid text,
+    the src/pml_query.cpp:74-90 format)."""
+    from colbwt_tpu.ops import query_xla
+
+    cfg = cfg or ColBwtConfig()
+    logger = get_logger("colbwt.query", cfg.verbose)
+    timer = Timer().start()
+
+    index = ColPmlIndex.load(f"{index_prefix}.colpml.npz")
+    names: list[str] = []
+    reads: list[bytes] = []
+    for rec in read_fasta(pattern_file):
+        names.append(rec.name)
+        reads.append(rec.seq.upper())
+    logger.info("querying %d reads against r=%d index", len(reads), index.r)
+
+    # bucket by padded length to bound recompilation while avoiding wasted steps
+    pmls: list[np.ndarray] = [None] * len(reads)  # type: ignore[list-item]
+    cids: list[np.ndarray] = [None] * len(reads)  # type: ignore[list-item]
+    buckets: dict[int, list[int]] = {}
+    for i, rd in enumerate(reads):
+        m = max(1, len(rd))
+        padded = 1 << (m - 1).bit_length()
+        buckets.setdefault(padded, []).append(i)
+    for padded, idxs in sorted(buckets.items()):
+        for off in range(0, len(idxs), cfg.batch_size):
+            chunk = idxs[off:off + cfg.batch_size]
+            p, c = query_xla.query_batch(index, [reads[i] for i in chunk],
+                                         max_len=padded)
+            for j, i in enumerate(chunk):
+                pmls[i] = p[j]
+                cids[i] = c[j]
+
+    write_pml_cid_binary(f"{pattern_file}.split.pml.bin",
+                         f"{pattern_file}.split.cid.bin", names, pmls, cids)
+    if write_text:
+        write_pml_cid_text(f"{pattern_file}.pml", f"{pattern_file}.cid",
+                           names, pmls, cids)
+    timer.end()
+    logger.info("query complete in %.2fs (%.0f reads/s)",
+                timer.start_duration,
+                len(reads) / max(timer.start_duration, 1e-9))
+    return names, pmls, cids

@@ -1,0 +1,61 @@
+"""Sharded query engine on the 8-device virtual CPU mesh: results must be
+identical to the single-device engine for every dp×ip layout."""
+
+import numpy as np
+import pytest
+import jax
+
+from colbwt_tpu.models.index import ColPmlIndex
+from colbwt_tpu.ops import oracle as O
+from colbwt_tpu.ops import query_xla
+from colbwt_tpu.parallel import make_mesh, query_batch_sharded
+from tests.conftest import random_docs
+from tests.test_query_xla import build_index, make_reads
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(42)
+    base = bytes(rng.choice(list(b"ACGT"), 300).astype("uint8"))
+    docs = random_docs(rng, 3, mutate_from=base)
+    tbl, _ = build_index(docs)
+    index = ColPmlIndex.build(tbl, ff_bound=4)
+    reads = make_reads(rng, docs, 24)
+    ref_p, ref_c = query_xla.query_batch(index, reads)
+    return index, reads, ref_p, ref_c
+
+
+@pytest.mark.parametrize("dp,ip", [(8, 1), (4, 2), (2, 4), (1, 8), (2, 2)])
+def test_sharded_matches_local(setup, dp, ip):
+    index, reads, ref_p, ref_c = setup
+    mesh = make_mesh(dp, ip)
+    p, c = query_batch_sharded(index, reads, mesh=mesh)
+    for a, b in zip(p[:len(reads)], ref_p):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(c[:len(reads)], ref_c):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_pads_ragged_batch(setup):
+    index, reads, ref_p, ref_c = setup
+    mesh = make_mesh(8, 1)
+    # 13 reads does not divide 8 -> padding lanes must not disturb results
+    p, c = query_batch_sharded(index, reads[:13], mesh=mesh)
+    for a, b in zip(p[:13], ref_p[:13]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_requires_split_index(setup):
+    index, reads, *_ = setup
+    unsplit = ColPmlIndex(
+        **{f: getattr(index, f) for f in (
+            "char", "idx", "length", "dest_interval", "dest_offset",
+            "col_id", "threshold", "pred_jump", "succ_jump", "alphabet",
+            "char_map", "n", "r", "bwt_r")}, ff_bound=0)
+    with pytest.raises(ValueError, match="run-split"):
+        query_batch_sharded(unsplit, reads[:8], mesh=make_mesh(2, 2))
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(16, 2)

@@ -1,0 +1,93 @@
+"""End-to-end pipeline + CLI tests on the README toy configuration
+(2 FASTAs, tunnels, sub-sample 10 — SURVEY §7 minimum slice)."""
+
+import numpy as np
+import pytest
+
+from colbwt_tpu.cli import main as cli_main
+from colbwt_tpu.io import formats as F
+from colbwt_tpu.io.fasta import FastaRecord, write_fasta
+from colbwt_tpu.io.pml_out import read_pml_cid_binary
+from colbwt_tpu.ops import oracle as O
+from tests.conftest import random_docs
+
+
+@pytest.fixture
+def toy(tmp_path, rng):
+    base = bytes(rng.choice(list(b"ACGT"), 400).astype("uint8"))
+    d1, d2 = random_docs(rng, 2, mutate_from=base)
+    write_fasta(tmp_path / "seq1.fa", [FastaRecord("seq1", d1)])
+    write_fasta(tmp_path / "seq2.fa", [FastaRecord("seq2", d2)])
+    reads = []
+    for i in range(12):
+        s = int(rng.integers(0, len(d1) - 60))
+        reads.append(FastaRecord(f"read{i}", d1[s:s + 60]))
+    write_fasta(tmp_path / "pattern.fa", reads)
+    return tmp_path, [d1, d2], reads
+
+
+def test_cli_build_and_query(toy):
+    tmp, docs, reads = toy
+    out = str(tmp / "index")
+    rc = cli_main(["build", "-o", out, "-m", "tunnels", "-s", "10",
+                   "-l", "15", str(tmp / "seq1.fa"), str(tmp / "seq2.fa")])
+    assert rc == 0
+    # mumemto-contract artifacts exist
+    for ext in ("bwt.heads", "bwt.len", "thr_pos", "col_mums",
+                "col_runs", "col_ids"):
+        assert (tmp / f"index.fa.{ext}").exists(), ext
+    assert (tmp / "index.colpml.npz").exists()
+
+    rc = cli_main(["query", out, "-p", str(tmp / "pattern.fa"), "--text"])
+    assert rc == 0
+    names, pmls = read_pml_cid_binary(tmp / "pattern.fa.split.pml.bin")
+    names2, cids = read_pml_cid_binary(tmp / "pattern.fa.split.cid.bin")
+    assert names == [r.name for r in reads]
+    assert all(p.size == 60 for p in pmls)
+
+    # results equal the oracle run on the artifacts
+    heads, lens = F.read_rlbwt(tmp / "index.fa")
+    thr = F.read_thresholds_file(tmp / "index.fa.thr_pos")
+    bv = F.read_sdsl_bit_vector(tmp / "index.fa.col_runs")
+    ids = F.read_col_ids(tmp / "index.fa.col_ids")
+    tbl = O.build_col_pml(heads, lens, np.flatnonzero(bv),
+                          ids.astype(np.int64), thr.astype(np.int64))
+    for rec, pml, cid in zip(reads, pmls, cids):
+        ep, ec = O.query_pml_oracle(tbl, rec.seq)
+        np.testing.assert_array_equal(pml, ep)
+        np.testing.assert_array_equal(cid, ec)
+
+    # text output format (src/pml_query.cpp:74-90)
+    text = (tmp / "pattern.fa.pml").read_text()
+    assert text.startswith(">read0 \n")
+    first_line_vals = text.splitlines()[1]
+    assert first_line_vals.endswith(" ")
+
+
+def test_build_resumability(toy):
+    tmp, docs, reads = toy
+    out = str(tmp / "idx2")
+    cli_main(["build", "-o", out, "-l", "15",
+              str(tmp / "seq1.fa"), str(tmp / "seq2.fa")])
+    mtime = (tmp / "idx2.colpml.npz").stat().st_mtime_ns
+    # second build skips all stages (same artifacts untouched)
+    cli_main(["build", "-o", out, "-l", "15",
+              str(tmp / "seq1.fa"), str(tmp / "seq2.fa")])
+    assert (tmp / "idx2.colpml.npz").stat().st_mtime_ns == mtime
+
+
+def test_build_filelist_and_clean(toy):
+    tmp, docs, reads = toy
+    (tmp / "list.txt").write_text(
+        f"{tmp / 'seq1.fa'} 1\n{tmp / 'seq2.fa'} 2\n")
+    out = str(tmp / "idx3")
+    rc = cli_main(["build", "-o", out, "-i", str(tmp / "list.txt"),
+                   "-l", "15", "--clean"])
+    assert rc == 0
+    assert (tmp / "idx3.colpml.npz").exists()
+    assert not (tmp / "idx3.fa.bwt.heads").exists()  # cleaned
+
+
+def test_query_rejects_missing_index(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        cli_main(["query", str(tmp_path / "nope"), "-p", str(tmp_path / "x.fa")])
