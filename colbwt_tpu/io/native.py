@@ -1,0 +1,117 @@
+"""ctypes bindings for the native C++ runtime (native/colbwt_native.cpp).
+
+Everything here is optional acceleration / baseline measurement: each entry
+point has a NumPy fallback, and `available()` gates usage.  `build()` compiles
+the shared library with the in-tree Makefile on first use.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libcolbwt_native.so"
+_lib: ctypes.CDLL | None = None
+
+
+def build(force: bool = False) -> bool:
+    """Compile the native library; returns success."""
+    if _LIB_PATH.exists() and not force:
+        return True
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)] + (["-B"] if force else []),
+                       check=True, capture_output=True)
+        return _LIB_PATH.exists()
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and not build():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.query_pml_serial.restype = None
+    lib.query_pml_serial.argtypes = [
+        u8p, i64p, i64p, i64p, i64p, u8p, i64p,
+        ctypes.c_int64, ctypes.c_int64,
+        u8p, i64p, ctypes.c_int64, i32p, i32p]
+    lib.rle_encode.restype = ctypes.c_int64
+    lib.rle_encode.argtypes = [u8p, ctypes.c_int64, u8p, i64p]
+    lib.lcp_kasai.restype = None
+    lib.lcp_kasai.argtypes = [i64p, i64p, ctypes.c_int64, i64p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _p(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def query_pml_serial(tbl, patterns: list[bytes]
+                     ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Single-core C++ reference engine (the bench baseline) on an oracle
+    LFTableArrays with col_id + threshold."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    chr_ = np.ascontiguousarray(tbl.char, dtype=np.uint8)
+    idx = np.ascontiguousarray(tbl.idx, dtype=np.int64)
+    lens = np.ascontiguousarray(tbl.length, dtype=np.int64)
+    di = np.ascontiguousarray(tbl.dest_interval, dtype=np.int64)
+    do = np.ascontiguousarray(tbl.dest_offset, dtype=np.int64)
+    cid = np.ascontiguousarray(
+        tbl.col_id if tbl.col_id is not None else np.zeros(tbl.r), dtype=np.uint8)
+    thr = np.ascontiguousarray(
+        tbl.threshold if tbl.threshold is not None else np.zeros(tbl.r),
+        dtype=np.int64)
+
+    offs = np.zeros(len(patterns) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in patterns], out=offs[1:])
+    flat = np.frombuffer(b"".join(patterns), dtype=np.uint8).copy()
+    pml = np.zeros(flat.size, dtype=np.int32)
+    cids = np.zeros(flat.size, dtype=np.int32)
+
+    lib.query_pml_serial(
+        _p(chr_, ctypes.c_uint8), _p(idx, ctypes.c_int64),
+        _p(lens, ctypes.c_int64), _p(di, ctypes.c_int64),
+        _p(do, ctypes.c_int64), _p(cid, ctypes.c_uint8),
+        _p(thr, ctypes.c_int64), tbl.r, tbl.n,
+        _p(flat, ctypes.c_uint8), _p(offs, ctypes.c_int64), len(patterns),
+        _p(pml, ctypes.c_int32), _p(cids, ctypes.c_int32))
+    return ([pml[offs[i]:offs[i + 1]].astype(np.int64) for i in range(len(patterns))],
+            [cids[offs[i]:offs[i + 1]].astype(np.int64) for i in range(len(patterns))])
+
+
+def rle_encode(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lib = _load()
+    assert lib is not None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    heads = np.empty(data.size, dtype=np.uint8)
+    lens = np.empty(data.size, dtype=np.int64)
+    r = lib.rle_encode(_p(data, ctypes.c_uint8), data.size,
+                       _p(heads, ctypes.c_uint8), _p(lens, ctypes.c_int64))
+    return heads[:r].copy(), lens[:r].copy()
+
+
+def lcp_kasai(ranks: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    ranks = np.ascontiguousarray(ranks, dtype=np.int64)
+    sa = np.ascontiguousarray(sa, dtype=np.int64)
+    out = np.zeros(ranks.size, dtype=np.int64)
+    lib.lcp_kasai(_p(ranks, ctypes.c_int64), _p(sa, ctypes.c_int64),
+                  ranks.size, _p(out, ctypes.c_int64))
+    return out

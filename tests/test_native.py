@@ -1,0 +1,40 @@
+"""Native C++ engine/helpers vs the NumPy oracle (skipped if no toolchain)."""
+
+import numpy as np
+import pytest
+
+from colbwt_tpu.io import native
+from colbwt_tpu.ops import oracle as O
+from tests.conftest import random_docs
+from tests.test_query_xla import build_index, make_reads
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+def test_native_query_matches_oracle(rng):
+    base = bytes(rng.choice(list(b"ACGT"), 200).astype("uint8"))
+    docs = random_docs(rng, 3, mutate_from=base)
+    tbl, _ = build_index(docs)
+    reads = make_reads(rng, docs, 16)
+    pmls, cids = native.query_pml_serial(tbl, reads)
+    for read, pml, cid in zip(reads, pmls, cids):
+        ep, ec = O.query_pml_oracle(tbl, read)
+        np.testing.assert_array_equal(pml, ep)
+        np.testing.assert_array_equal(cid, ec)
+
+
+def test_native_rle(rng):
+    data = rng.integers(0, 4, 10000).astype(np.uint8)
+    h, l = native.rle_encode(data)
+    ho, lo = O.rle(data)
+    np.testing.assert_array_equal(h, ho)
+    np.testing.assert_array_equal(l, lo)
+
+
+def test_native_kasai(rng):
+    docs = random_docs(rng, 3, lo=50, hi=150)
+    _, ranks, _ = O.concat_collection(docs)
+    sa = O.suffix_array(ranks)
+    np.testing.assert_array_equal(native.lcp_kasai(ranks, sa),
+                                  O.lcp_kasai(ranks, sa))

@@ -1,0 +1,47 @@
+"""Mega engine: exact equality vs oracle + baseline engines."""
+
+import numpy as np
+import pytest
+
+from colbwt_tpu.models.index import ColPmlIndex
+from colbwt_tpu.ops import oracle as O
+from colbwt_tpu.ops import query_mega, query_xla
+from tests.conftest import random_docs
+from tests.test_query_xla import build_index, make_reads
+
+
+@pytest.mark.parametrize("mode", ["tunnels", "all"])
+def test_mega_matches_oracle(rng, mode):
+    base = bytes(rng.choice(list(b"ACGT"), 250).astype("uint8"))
+    docs = random_docs(rng, 3, mutate_from=base)
+    tbl, _ = build_index(docs, mode=mode)
+    index = ColPmlIndex.build(tbl, ff_bound=2)
+    reads = make_reads(rng, docs, 24) + [b"NNNNN", b"A", b"XYACGT"]
+    pmls, cids = query_mega.query_batch(index, reads)
+    for read, pml, cid in zip(reads, pmls, cids):
+        ep, ec = O.query_pml_oracle(tbl, read)
+        np.testing.assert_array_equal(pml, ep, err_msg=f"PML {read!r}")
+        np.testing.assert_array_equal(cid, ec, err_msg=f"CID {read!r}")
+
+
+def test_mega_matches_baseline(rng):
+    base = bytes(rng.choice(list(b"ACGT"), 300).astype("uint8"))
+    docs = random_docs(rng, 4, mutate_from=base)
+    tbl, _ = build_index(docs)
+    i2 = ColPmlIndex.build(tbl, ff_bound=2)
+    i4 = ColPmlIndex.build(tbl, ff_bound=4)
+    reads = make_reads(rng, docs, 32)
+    p1, c1 = query_xla.query_batch(i4, reads)
+    p2, c2 = query_mega.query_batch(i2, reads)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(c1, c2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_mega_rejects_wrong_bound(rng):
+    docs = random_docs(rng, 2, lo=50, hi=90)
+    tbl, _ = build_index(docs)
+    i4 = ColPmlIndex.build(tbl, ff_bound=4)
+    with pytest.raises(ValueError, match="k=2"):
+        query_mega.build_mega_table(i4)
