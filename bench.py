@@ -163,6 +163,9 @@ def bench_cpp(tbl, reads) -> float:
 
 
 def main() -> None:
+    from colbwt_tpu.utils.log import enable_compilation_cache
+
+    enable_compilation_cache(str(CACHE / "jax_cache"))
     index, tbl = get_index_and_table()
     reads = make_reads()
     tpu_rps = bench_tpu(index, reads)

@@ -97,6 +97,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-v", "--verbose", action="store_true")
 
     args = parser.parse_args(argv)
+    if args.command in ("build", "query"):
+        from colbwt_tpu.utils.log import enable_compilation_cache
+
+        enable_compilation_cache()
     if args.command == "build":
         return _build(args)
     if args.command == "query":

@@ -65,8 +65,10 @@ def suffix_array_device(ranks0: jnp.ndarray, num_rounds: int,
     k = 1
     for _ in range(num_rounds):
         next_rank = jnp.full((n,), -1, dtype=jnp.int32).at[:n - k].set(rank[k:])
-        # lexicographic (rank, next_rank) sort as two stable passes — int32-safe
-        # at any n (a fused int key would overflow past n ~ 46k without x64)
+        # lexicographic (rank, next_rank) as two stable single-key argsorts —
+        # int32-safe at any n (a fused int key would overflow past n ~ 46k
+        # without x64) and ~3x faster than one variadic 2-key lax.sort, whose
+        # custom comparator hits TPU's slow sort path (measured)
         o1 = jnp.argsort(next_rank, stable=True).astype(jnp.int32)
         order = jnp.take(o1, jnp.argsort(jnp.take(rank, o1), stable=True)
                          ).astype(jnp.int32)

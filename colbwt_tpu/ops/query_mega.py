@@ -95,21 +95,31 @@ def build_mega_table(index: ColPmlIndex) -> dict:
     }
 
 
-@functools.partial(jax.jit, static_argnames=("unroll",))
-def query_batch_mega(mt: dict, patterns: jnp.ndarray, lengths: jnp.ndarray,
-                     unroll: int = 4) -> tuple[jnp.ndarray, jnp.ndarray]:
-    B, M = patterns.shape
+def initial_state(mt: dict, batch: int):
+    """The reference's query start state: bottom of the BWT
+    (include/col_bwt.hpp:503-507)."""
+    B = batch
     r = mt["r"]
     n = mt["n"]
+    return (jnp.broadcast_to(r - 1, (B,)).astype(jnp.int32),
+            jnp.broadcast_to(mt["last_len"] - 1, (B,)).astype(jnp.int32),
+            jnp.broadcast_to(n - 1, (B,)).astype(jnp.int32),
+            jnp.zeros((B,), dtype=jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def query_chunk_mega(mt: dict, patterns: jnp.ndarray, lengths: jnp.ndarray,
+                     state, step_offset: jnp.ndarray, unroll: int = 4):
+    """One chunk of the backward scan with carried state (long-read streaming,
+    the -l mode of src/pml_query.cpp:126-128 re-imagined as chunked device
+    scans).  `lengths` are the full read lengths; a lane is active while
+    step_offset + i < length.  Returns ((pml, cid), final_state)."""
+    B, M = patterns.shape
+    r = mt["r"]
     mega = mt["mega"]
 
-    interval0 = jnp.broadcast_to(r - 1, (B,)).astype(jnp.int32)
-    offset0 = jnp.broadcast_to(mt["last_len"] - 1, (B,)).astype(jnp.int32)
-    pos0 = jnp.broadcast_to(n - 1, (B,)).astype(jnp.int32)
-    len0 = jnp.zeros((B,), dtype=jnp.int32)
-
     cols = patterns[:, ::-1].T
-    steps = jnp.arange(M, dtype=jnp.int32)
+    steps = jnp.arange(M, dtype=jnp.int32) + step_offset
 
     def body(state, xs):
         interval, offset, pos, mlen = state
@@ -148,9 +158,50 @@ def query_batch_mega(mt: dict, patterns: jnp.ndarray, lengths: jnp.ndarray,
         return ((interval, offset, pos, mlen),
                 (jnp.where(valid, new_len, 0), jnp.where(valid, cid_out, 0)))
 
-    _, (pml_steps, cid_steps) = jax.lax.scan(
-        body, (interval0, offset0, pos0, len0), (cols, steps), unroll=unroll)
-    return pml_steps.T[:, ::-1], cid_steps.T[:, ::-1]
+    final, (pml_steps, cid_steps) = jax.lax.scan(
+        body, state, (cols, steps), unroll=unroll)
+    return (pml_steps.T[:, ::-1], cid_steps.T[:, ::-1]), final
+
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def query_batch_mega(mt: dict, patterns: jnp.ndarray, lengths: jnp.ndarray,
+                     unroll: int = 4) -> tuple[jnp.ndarray, jnp.ndarray]:
+    (pml, cid), _ = query_chunk_mega(
+        mt, patterns, lengths, initial_state(mt, patterns.shape[0]),
+        jnp.int32(0), unroll=unroll)
+    return pml, cid
+
+
+def query_long_reads(index: ColPmlIndex, patterns: list[bytes],
+                     chunk: int = 2048, mt: dict | None = None
+                     ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Arbitrary-length reads via chunked scans with carried state.
+
+    Reads are right-aligned to a chunk multiple and processed right-to-left
+    chunk by chunk; per-chunk outputs assemble the full per-base arrays.
+    Exactly equivalent to one giant scan (differential-tested)."""
+    if mt is None:
+        mt = build_mega_table(index)
+    B = len(patterns)
+    max_m = max((len(p) for p in patterns), default=1)
+    n_chunks = max(1, -(-max_m // chunk))
+    M = n_chunks * chunk
+    enc, lens = index.encode_patterns(patterns, max_len=M)
+    enc_j = jnp.asarray(enc)
+    lens_j = jnp.asarray(lens)
+
+    pml_full = np.zeros((B, M), dtype=np.int32)
+    cid_full = np.zeros((B, M), dtype=np.int32)
+    state = initial_state(mt, B)
+    for j in range(n_chunks):
+        lo = M - (j + 1) * chunk
+        cols = enc_j[:, lo:lo + chunk]
+        (pml, cid), state = query_chunk_mega(
+            mt, cols, lens_j, state, jnp.int32(j * chunk))
+        pml_full[:, lo:lo + chunk] = np.asarray(pml)
+        cid_full[:, lo:lo + chunk] = np.asarray(cid)
+    return ([pml_full[b, M - int(lens[b]):] for b in range(B)],
+            [cid_full[b, M - int(lens[b]):] for b in range(B)])
 
 
 def query_batch(index: ColPmlIndex, patterns: list[bytes],

@@ -226,7 +226,7 @@ def query_pipeline(index_prefix: str, pattern_file: str,
     """`col-bwt query` (scripts/col-bwt.py:191-198): batched device queries,
     outputs PATTERN.split.pml.bin/.split.cid.bin (+ optional .pml/.cid text,
     the src/pml_query.cpp:74-90 format)."""
-    from colbwt_tpu.ops import query_xla
+    from colbwt_tpu.ops import query_mega, query_xla
 
     cfg = cfg or ColBwtConfig()
     logger = get_logger("colbwt.query", cfg.verbose)
@@ -240,22 +240,42 @@ def query_pipeline(index_prefix: str, pattern_file: str,
         reads.append(rec.seq.upper())
     logger.info("querying %d reads against r=%d index", len(reads), index.r)
 
-    # bucket by padded length to bound recompilation while avoiding wasted steps
+    use_mega = (index.ff_bound == 2 and cfg.engine in ("auto", "mega"))
+    mt = query_mega.build_mega_table(index) if use_mega else None
+
+    def run_batch(batch: list[bytes], padded: int):
+        if use_mega:
+            return query_mega.query_batch(index, batch, max_len=padded, mt=mt)
+        return query_xla.query_batch(index, batch, max_len=padded)
+
+    # bucket by padded length to bound recompilation while avoiding wasted
+    # steps; long reads stream in chunks with carried state (the -l mode,
+    # src/pml_query.cpp:126-128)
     pmls: list[np.ndarray] = [None] * len(reads)  # type: ignore[list-item]
     cids: list[np.ndarray] = [None] * len(reads)  # type: ignore[list-item]
     buckets: dict[int, list[int]] = {}
+    long_idxs: list[int] = []
     for i, rd in enumerate(reads):
         m = max(1, len(rd))
+        if use_mega and m > cfg.long_read_len:
+            long_idxs.append(i)
+            continue
         padded = 1 << (m - 1).bit_length()
         buckets.setdefault(padded, []).append(i)
     for padded, idxs in sorted(buckets.items()):
         for off in range(0, len(idxs), cfg.batch_size):
             chunk = idxs[off:off + cfg.batch_size]
-            p, c = query_xla.query_batch(index, [reads[i] for i in chunk],
-                                         max_len=padded)
+            p, c = run_batch([reads[i] for i in chunk], padded)
             for j, i in enumerate(chunk):
                 pmls[i] = p[j]
                 cids[i] = c[j]
+    for off in range(0, len(long_idxs), max(1, cfg.batch_size // 16)):
+        chunk = long_idxs[off:off + max(1, cfg.batch_size // 16)]
+        p, c = query_mega.query_long_reads(
+            index, [reads[i] for i in chunk], chunk=cfg.long_read_chunk, mt=mt)
+        for j, i in enumerate(chunk):
+            pmls[i] = p[j]
+            cids[i] = c[j]
 
     write_pml_cid_binary(f"{pattern_file}.split.pml.bin",
                          f"{pattern_file}.split.cid.bin", names, pmls, cids)

@@ -51,8 +51,11 @@ class ColBwtConfig:
     # --- query engine knobs (new; no reference counterpart) ---
     batch_size: int = 8192        # reads advanced in lockstep per device
     max_read_len: int = 256       # padded read length bucket
-    engine: str = "auto"          # "xla" | "pallas" | "auto"
-    ff_bound: int = 8             # max LF fast-forward steps after run splitting
+    engine: str = "auto"          # "mega" | "fused" | "xla" | "auto"
+    ff_bound: int = 2             # max LF fast-forward span after run splitting
+                                  # (2 enables the 1-gather/step mega engine)
+    long_read_len: int = 1024     # reads longer than this stream in chunks
+    long_read_chunk: int = 2048
 
     # --- parallel knobs (new; reference is single-node: SURVEY §2.3) ---
     dp: int = 1                   # data-parallel (read-sharded) mesh axis

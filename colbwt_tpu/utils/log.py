@@ -69,6 +69,23 @@ def status(msg: str, logger: logging.Logger | None = None):
     logger.debug("%s DONE (%.3fs)", msg, time.perf_counter() - t0)
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache: cold CLI/bench runs reuse compiled
+    query kernels across processes (first compiles through the tunneled TPU
+    backend cost minutes; cached reloads are seconds)."""
+    import os
+
+    import jax
+
+    cache_dir = path or os.path.expanduser("~/.cache/colbwt_tpu/jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs — harmless
+        pass
+
+
 def device_mem_peak() -> dict:
     """Per-device memory stats, the TPU stand-in for malloc_count peak RSS."""
     import jax
