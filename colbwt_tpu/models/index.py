@@ -177,3 +177,25 @@ class ColPmlIndex:
             self.char, self.idx, self.length, self.dest_interval,
             self.dest_offset, self.col_id, self.threshold,
             self.pred_jump, self.succ_jump))
+
+    def stats(self) -> dict:
+        """Structural stats, the bwt_stats/mem_stats equivalent
+        (include/ds/LF_table.hpp:305-320, include/col_bwt.hpp:336-350)."""
+        import math
+
+        col_runs = int((self.col_id > 0).sum())
+        col_chars = int(self.length[self.col_id > 0].sum())
+        return {
+            "n": self.n,
+            "r": self.r,
+            "bwt_r": self.bwt_r,
+            "n_over_r": self.n / max(self.r, 1),
+            "log2_r": math.log2(max(self.r, 1)),
+            "sigma": self.sigma,
+            "ff_bound": self.ff_bound,
+            "col_runs": col_runs,
+            "col_chars": col_chars,
+            "col_char_fraction": col_chars / max(self.n, 1),
+            "bytes": self.nbytes(),
+            "bytes_per_run": self.nbytes() / max(self.r, 1),
+        }
