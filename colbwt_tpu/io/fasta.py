@@ -34,8 +34,23 @@ def read_fasta(path: str | Path) -> Iterator[FastaRecord]:
     """Stream records from a FASTA or FASTQ file (optionally gzipped).
 
     Like kseq, the record name is the first whitespace-delimited token after
-    '>' / '@'; multi-line sequences are concatenated.
+    '>' / '@'; multi-line sequences are concatenated.  Large plain FASTA
+    files route through the native C++ parser when built.
     """
+    p = Path(path)
+    if (p.suffix not in (".gz", ".fastq", ".fq")
+            and p.exists() and p.stat().st_size > (1 << 20)):
+        try:
+            from colbwt_tpu.io import native
+
+            if native.available():
+                head = p.open("rb").read(2)
+                if head[:1] == b">":
+                    for name, seq in native.parse_fasta_bytes(p.read_bytes()):
+                        yield FastaRecord(name, seq)
+                    return
+        except Exception:
+            pass  # fall through to the Python reader
     with _open(path) as fh:
         name: str | None = None
         chunks: list[bytes] = []

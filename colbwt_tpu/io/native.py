@@ -49,6 +49,10 @@ def _load() -> ctypes.CDLL | None:
     lib.rle_encode.argtypes = [u8p, ctypes.c_int64, u8p, i64p]
     lib.lcp_kasai.restype = None
     lib.lcp_kasai.argtypes = [i64p, i64p, ctypes.c_int64, i64p]
+    lib.fasta_count.restype = ctypes.c_int64
+    lib.fasta_count.argtypes = [u8p, ctypes.c_int64]
+    lib.fasta_parse.restype = ctypes.c_int64
+    lib.fasta_parse.argtypes = [u8p, ctypes.c_int64, u8p, i64p, i64p, i64p, i64p]
     _lib = lib
     return lib
 
@@ -104,6 +108,36 @@ def rle_encode(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     r = lib.rle_encode(_p(data, ctypes.c_uint8), data.size,
                        _p(heads, ctypes.c_uint8), _p(lens, ctypes.c_int64))
     return heads[:r].copy(), lens[:r].copy()
+
+
+def parse_fasta_bytes(data: bytes):
+    """Native FASTA parse of an in-memory buffer → list of (name, seq bytes).
+
+    The kseq-equivalent fast path (reference include/common/io.hpp:6-35);
+    plain FASTA only — FASTQ/.gz stay on the Python reader."""
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    count = lib.fasta_count(_p(buf, ctypes.c_uint8), buf.size)
+    if count == 0:
+        return []
+    seq_out = np.empty(buf.size, dtype=np.uint8)
+    name_off = np.empty(count, dtype=np.int64)
+    name_len = np.empty(count, dtype=np.int64)
+    seq_off = np.empty(count, dtype=np.int64)
+    seq_len = np.empty(count, dtype=np.int64)
+    lib.fasta_parse(_p(buf, ctypes.c_uint8), buf.size,
+                    _p(seq_out, ctypes.c_uint8),
+                    _p(name_off, ctypes.c_int64), _p(name_len, ctypes.c_int64),
+                    _p(seq_off, ctypes.c_int64), _p(seq_len, ctypes.c_int64))
+    out = []
+    raw = buf.tobytes()
+    sq = seq_out.tobytes()
+    for i in range(count):
+        name = raw[name_off[i]:name_off[i] + name_len[i]].decode()
+        seq = sq[seq_off[i]:seq_off[i] + seq_len[i]]
+        out.append((name, seq))
+    return out
 
 
 def lcp_kasai(ranks: np.ndarray, sa: np.ndarray) -> np.ndarray:

@@ -183,3 +183,56 @@ void lcp_kasai(const int64_t* ranks, const int64_t* sa, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Buffered FASTA parsing (the kseq role, include/common/io.hpp:6-35 of the
+// reference).  Pass 1: count records.  Pass 2: compact sequence bytes into
+// seq_out (newlines stripped) and fill per-record (name_off, name_len,
+// seq_off, seq_len); offsets into `data` for names, into seq_out for
+// sequences.  Returns total compacted sequence bytes.
+int64_t fasta_count(const uint8_t* data, int64_t size) {
+    int64_t count = 0;
+    bool at_line_start = true;
+    for (int64_t i = 0; i < size; ++i) {
+        if (at_line_start && data[i] == '>') ++count;
+        at_line_start = (data[i] == '\n');
+    }
+    return count;
+}
+
+int64_t fasta_parse(const uint8_t* data, int64_t size, uint8_t* seq_out,
+                    int64_t* name_off, int64_t* name_len,
+                    int64_t* seq_off, int64_t* seq_len) {
+    int64_t rec = -1;
+    int64_t out = 0;
+    int64_t i = 0;
+    while (i < size) {
+        if (data[i] == '>') {
+            ++rec;
+            ++i;
+            name_off[rec] = i;
+            while (i < size && data[i] != '\n' && data[i] != ' '
+                   && data[i] != '\t' && data[i] != '\r') ++i;
+            name_len[rec] = i - name_off[rec];
+            while (i < size && data[i] != '\n') ++i;  // rest of header
+            ++i;
+            seq_off[rec] = out;
+            seq_len[rec] = 0;
+        } else {
+            int64_t line_start = i;
+            while (i < size && data[i] != '\n') ++i;
+            int64_t len = i - line_start;
+            if (len > 0 && data[line_start + len - 1] == '\r') --len;
+            if (rec >= 0 && len > 0) {
+                memcpy(seq_out + out, data + line_start, len);
+                out += len;
+                seq_len[rec] += len;
+            }
+            ++i;
+        }
+    }
+    return out;
+}
+
+}  // extern "C"

@@ -38,3 +38,18 @@ def test_native_kasai(rng):
     sa = O.suffix_array(ranks)
     np.testing.assert_array_equal(native.lcp_kasai(ranks, sa),
                                   O.lcp_kasai(ranks, sa))
+
+
+def test_native_fasta_parse(rng, tmp_path):
+    from colbwt_tpu.io.fasta import write_fasta, read_fasta, FastaRecord
+
+    recs = [FastaRecord("a/1", bytes(rng.choice(list(b"ACGT"), 333).astype("uint8"))),
+            FastaRecord("b", b"ACGT"),
+            FastaRecord("empty", b""),
+            FastaRecord("c_2", bytes(rng.choice(list(b"ACGT"), 77).astype("uint8")))]
+    write_fasta(tmp_path / "x.fa", recs, width=50)
+    got = native.parse_fasta_bytes((tmp_path / "x.fa").read_bytes())
+    assert [(n, s) for n, s in got] == [(r.name, r.seq) for r in recs]
+    # python reader agrees
+    got2 = list(read_fasta(tmp_path / "x.fa"))
+    assert [(r.name, r.seq) for r in got2] == [(r.name, r.seq) for r in recs]

@@ -59,3 +59,28 @@ def test_sharded_requires_split_index(setup):
 def test_mesh_validation():
     with pytest.raises(ValueError, match="devices"):
         make_mesh(16, 2)
+
+
+@pytest.mark.parametrize("dp,ip", [(4, 2), (1, 8), (2, 2), (8, 1)])
+def test_sharded_mega_matches_local(setup, dp, ip):
+    from colbwt_tpu.ops import run_split
+    from colbwt_tpu.parallel.query_sharded_mega import query_batch_sharded_mega
+    from tests.test_query_xla import build_index
+
+    rng = np.random.default_rng(77)
+    base = bytes(rng.choice(list(b"ACGT"), 300).astype("uint8"))
+    from tests.conftest import random_docs
+    docs = random_docs(rng, 3, mutate_from=base)
+    tbl, _ = build_index(docs)
+    index2 = ColPmlIndex.build(tbl, ff_bound=2)
+    from tests.test_query_xla import make_reads
+    reads = make_reads(rng, docs, 17)  # ragged vs dp
+
+    from colbwt_tpu.ops import query_mega
+    ref_p, ref_c = query_mega.query_batch(index2, reads)
+    mesh = make_mesh(dp, ip)
+    p, c = query_batch_sharded_mega(index2, reads, mesh=mesh)
+    for a, b in zip(p[:len(reads)], ref_p):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(c[:len(reads)], ref_c):
+        np.testing.assert_array_equal(a, b)
