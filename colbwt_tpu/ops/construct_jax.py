@@ -10,10 +10,10 @@ Here it is rebuilt TPU-first on sort/scan primitives:
 - LCP: binary lifting over the retained per-round rank arrays (LCE(a,b) in
   O(log n) vectorized compares), instead of the inherently sequential Kasai
   walk of the host oracle.  Memory: n * log2(n) int32 for the rank pyramid.
-- multi-MUMs: the §SURVEY 2.2 window conditions evaluated for every rank
+- multi-MUMs: the SURVEY §2.2 window conditions evaluated for every rank
   position at once — sliding-window minima by sparse-table doubling, document
-  coverage by sliding OR over 2x int32 doc bitmasks (N <= 64), left-maximality
-  by run-ids of the preceding-char array.
+  coverage via next-same-doc sliding minima (any N), left-maximality by
+  run-ids of the preceding-char array.
 - thresholds: per-character segmented argmin of LCP between consecutive
   same-char runs (two segment_min passes; first-position tie-break matching
   np.argmin).
@@ -163,22 +163,6 @@ def _sliding_min(x: jnp.ndarray, w: int) -> jnp.ndarray:
     return jnp.minimum(top, shifted)
 
 
-def _sliding_or(x: jnp.ndarray, w: int) -> jnp.ndarray:
-    """out[i] = OR(x[i : i+w]) for int32 bitmask arrays."""
-    levels = [x]
-    size = 1
-    out = x
-    while size * 2 <= w:
-        prev = levels[-1]
-        shifted = jnp.concatenate([prev[size:], jnp.zeros((size,), x.dtype)])
-        levels.append(prev | shifted)
-        size *= 2
-    top = levels[-1]
-    rest = w - size
-    shifted = jnp.concatenate([top[rest:], jnp.zeros((rest,), x.dtype)])
-    return top | shifted
-
-
 @functools.partial(jax.jit, static_argnames=("num_docs", "min_mum"))
 def multi_mum_scan(lcp: jnp.ndarray, sa_docs: jnp.ndarray,
                    prev_rank: jnp.ndarray, num_docs: int, min_mum: int
@@ -186,8 +170,11 @@ def multi_mum_scan(lcp: jnp.ndarray, sa_docs: jnp.ndarray,
     """Evaluate the multi-MUM window conditions at every rank position.
 
     Returns (is_mum mask over window starts, ell window lengths); see
-    oracle.find_multi_mums for the condition definitions.
-    Requires num_docs <= 64 (two int32 doc-bitmask words).
+    oracle.find_multi_mums for the condition definitions.  Works for any
+    number of documents: a height-N window covers all N docs iff no document
+    repeats inside it, i.e. min over the window of next-same-doc-occurrence
+    indices lands at or past the window end (sliding-window minimum of the
+    `nxt` array — O(n log N), N-independent, so the 10k-genome configs work).
     """
     n = lcp.shape[0]
     N = num_docs
@@ -199,14 +186,19 @@ def multi_mum_scan(lcp: jnp.ndarray, sa_docs: jnp.ndarray,
 
     uniq = (lcp_ext[:n] < ell) & (lcp_ext[N:N + n] < ell)
 
-    # doc coverage: all N documents present in window [i, i+N)
-    lo_mask = jnp.where(sa_docs < 32, jnp.int32(1) << jnp.minimum(sa_docs, 31), 0)
-    hi_mask = jnp.where(sa_docs >= 32, jnp.int32(1) << jnp.minimum(sa_docs - 32, 31), 0)
-    or_lo = _sliding_or(lo_mask, N)
-    or_hi = _sliding_or(hi_mask, N)
-    pop = (jax.lax.population_count(or_lo.astype(jnp.uint32)).astype(jnp.int32)
-           + jax.lax.population_count(or_hi.astype(jnp.uint32)).astype(jnp.int32))
-    covers = pop == N
+    # doc coverage: window [i, i+N) is a permutation of the N docs iff no doc
+    # repeats inside it.  nxt[i] = next j > i with sa_docs[j] == sa_docs[i].
+    pos = jnp.arange(n, dtype=jnp.int32)
+    order = jnp.argsort(sa_docs * 1, stable=True)  # group by doc, pos ascending
+    pos_sorted = jnp.take(pos, order)
+    doc_sorted = jnp.take(sa_docs, order)
+    nxt_sorted = jnp.concatenate([pos_sorted[1:], jnp.full((1,), n, jnp.int32)])
+    same_doc = jnp.concatenate(
+        [doc_sorted[1:] == doc_sorted[:-1], jnp.zeros((1,), bool)])
+    nxt_sorted = jnp.where(same_doc, nxt_sorted, n)
+    nxt = jnp.zeros((n,), dtype=jnp.int32).at[order].set(nxt_sorted)
+    win_min_nxt = _sliding_min(nxt, N)
+    covers = win_min_nxt >= pos + N
 
     # left-maximality: preceding chars not all equal across the window
     run_change = jnp.ones((n,), dtype=jnp.int32)
@@ -226,10 +218,8 @@ def find_multi_mums_jax(ranks: np.ndarray, sa: np.ndarray, lcp: np.ndarray,
                         doc_ids: np.ndarray, num_docs: int, min_mum: int = 1
                         ) -> tuple[np.ndarray, np.ndarray]:
     """Host wrapper matching oracle.find_multi_mums' signature and outputs."""
-    if num_docs < 2 or num_docs > 64:
-        if num_docs < 2:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        raise NotImplementedError("num_docs > 64 needs wider doc bitmasks")
+    if num_docs < 2:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     sa = np.asarray(sa)
     prev_rank = np.asarray(ranks)[sa - 1].astype(np.int32)
     sa_docs = np.asarray(doc_ids)[sa].astype(np.int32)

@@ -120,3 +120,17 @@ def test_full_device_construction_equals_host(rng):
     np.testing.assert_array_equal(bits_j, bits_o)
     np.testing.assert_array_equal(ids_j, ids_o)
     np.testing.assert_array_equal(thr_j, O.compute_thresholds(heads, lens, lcp_o))
+
+
+def test_multi_mums_many_documents(rng):
+    """N > 64 documents (beyond the old bitmask limit): device scan must
+    match the oracle's np.unique-based check."""
+    base = bytes(rng.choice(list(b"ACGT"), 60).astype("uint8"))
+    docs = random_docs(rng, 80, mutate_from=base)
+    text, ranks, doc_ids = O.concat_collection(docs)
+    sa = O.suffix_array(ranks)
+    lcp = O.lcp_kasai(ranks, sa)
+    lo, po = O.find_multi_mums(ranks, sa, lcp, doc_ids, 80, 4)
+    lj, pj = CJ.find_multi_mums_jax(ranks, sa, lcp, doc_ids, 80, 4)
+    np.testing.assert_array_equal(pj, po)
+    np.testing.assert_array_equal(lj, lo)
