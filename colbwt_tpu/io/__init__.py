@@ -13,6 +13,8 @@ from colbwt_tpu.io.formats import (  # noqa: F401
     write_sdsl_bit_vector,
     write_plain_bwt,
     read_plain_bwt,
+    write_col_pml_file,
+    read_col_pml_file,
 )
 from colbwt_tpu.io.fasta import read_fasta, write_fasta, FastaRecord  # noqa: F401
 from colbwt_tpu.io.pml_out import (  # noqa: F401

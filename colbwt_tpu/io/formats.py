@@ -151,6 +151,66 @@ def write_col_ids(path: str | Path, ids: np.ndarray, id_bytes: int = 1,
 
 
 # ---------------------------------------------------------------------------
+# .col_pml packed-row serialization (the reference alt-path index file)
+# ---------------------------------------------------------------------------
+# Layout (col_pml::serialize -> col_bwt::serialize -> LF_table::serialize,
+# include/col_bwt.hpp:360-380 + include/ds/LF_table.hpp:325-357): bwt_r (8B),
+# n (8B), r (8B), size (8B, == r), then r raw 18-byte packed col_thr rows
+# (write_vec memcpy of the packed struct, include/common/common.hpp:310-323):
+# char:8 idx:40 interval:32 offset:16 col_id:8 threshold:40 bits, LSB-first.
+
+_COL_THR_BYTES = 18
+
+
+def write_col_pml_file(path: str | Path, *, bwt_r: int, n: int,
+                       char: np.ndarray, idx: np.ndarray,
+                       dest_interval: np.ndarray, dest_offset: np.ndarray,
+                       col_id: np.ndarray, threshold: np.ndarray) -> None:
+    r = int(np.asarray(char).size)
+    rows = np.zeros((r, _COL_THR_BYTES), dtype=np.uint8)
+
+    def put(field, byte_off, width):
+        v = np.asarray(field, dtype=np.uint64)
+        if width < 8 and v.size and int(v.max(initial=0)) >= (1 << (8 * width)):
+            raise OverflowError(f"field at offset {byte_off} overflows {width}B")
+        for b in range(width):
+            rows[:, byte_off + b] = ((v >> np.uint64(8 * b)) & np.uint64(0xFF)
+                                     ).astype(np.uint8)
+
+    put(char, 0, 1)
+    put(idx, 1, 5)            # BWT_BYTES = 5
+    put(dest_interval, 6, 4)  # RUN_BYTES = 4
+    put(dest_offset, 10, 2)   # LEN_BYTES = 2
+    put(col_id, 12, 1)        # ID_BYTES = 1
+    put(threshold, 13, 5)     # BWT_BYTES = 5
+    header = np.array([bwt_r, n, r, r], dtype="<u8").tobytes()
+    Path(path).write_bytes(header + rows.tobytes())
+
+
+def read_col_pml_file(path: str | Path) -> dict:
+    raw = Path(path).read_bytes()
+    bwt_r, n, r, size = np.frombuffer(raw[:32], dtype="<u8")
+    rows = np.frombuffer(raw[32:32 + int(size) * _COL_THR_BYTES],
+                         dtype=np.uint8).reshape(int(size), _COL_THR_BYTES)
+
+    def get(byte_off, width):
+        v = np.zeros(rows.shape[0], dtype=np.uint64)
+        for b in range(width):
+            v |= rows[:, byte_off + b].astype(np.uint64) << np.uint64(8 * b)
+        return v
+
+    return {
+        "bwt_r": int(bwt_r), "n": int(n), "r": int(r),
+        "char": get(0, 1).astype(np.uint8),
+        "idx": get(1, 5).astype(np.int64),
+        "dest_interval": get(6, 4).astype(np.int64),
+        "dest_offset": get(10, 2).astype(np.int64),
+        "col_id": get(12, 1).astype(np.uint8),
+        "threshold": get(13, 5).astype(np.int64),
+    }
+
+
+# ---------------------------------------------------------------------------
 # sdsl plain bit_vector codec
 # ---------------------------------------------------------------------------
 # sdsl int_vector<1> serialization: a uint64 size-in-bits header followed by

@@ -184,6 +184,13 @@ def stage_index(prefix: str, cfg: ColBwtConfig, logger):
         with status("col_pml table", logger):
             tbl = O.build_col_pml(heads, lens, bits, ids.astype(np.int64),
                                   thr.astype(np.int64))
+        # the reference alt-path interchange file (packed col_thr rows,
+        # include/col_bwt.hpp:360-380) — written from the unsplit table
+        F.write_col_pml_file(
+            f"{fa}.col_pml", bwt_r=int(tbl.bwt_r), n=int(tbl.n),
+            char=tbl.char, idx=tbl.idx,
+            dest_interval=tbl.dest_interval, dest_offset=tbl.dest_offset,
+            col_id=tbl.col_id, threshold=tbl.threshold)
         with status("run splitting", logger):
             index = ColPmlIndex.build(tbl, ff_bound=cfg.ff_bound)
         index.save(out.with_suffix(""))

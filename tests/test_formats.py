@@ -127,3 +127,35 @@ def test_pml_binary_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(a, b)
     for a, b in zip(c2, cids):
         np.testing.assert_array_equal(a, b)
+
+
+def test_col_pml_file_roundtrip_and_query(tmp_path, rng):
+    """Packed col_thr row file (include/col_bwt.hpp:360-380 layout):
+    write from a built table, read back, query — identical results."""
+    from colbwt_tpu.ops import oracle as O
+    from tests.conftest import random_docs
+    from tests.test_query_xla import build_index
+
+    base = bytes(rng.choice(list(b"ACGT"), 200).astype("uint8"))
+    docs = random_docs(rng, 2, mutate_from=base)
+    tbl, _ = build_index(docs)
+    F.write_col_pml_file(tmp_path / "x.col_pml", bwt_r=int(tbl.bwt_r),
+                         n=tbl.n, char=tbl.char, idx=tbl.idx,
+                         dest_interval=tbl.dest_interval,
+                         dest_offset=tbl.dest_offset,
+                         col_id=tbl.col_id, threshold=tbl.threshold)
+    # 32-byte header + 18 bytes per row (the reference's packed col_thr size)
+    assert (tmp_path / "x.col_pml").stat().st_size == 32 + 18 * tbl.r
+    d = F.read_col_pml_file(tmp_path / "x.col_pml")
+    assert d["bwt_r"] == tbl.bwt_r and d["n"] == tbl.n and d["r"] == tbl.r
+    loaded = O.LFTableArrays(
+        char=d["char"], idx=d["idx"],
+        length=np.diff(np.r_[d["idx"], d["n"]]),
+        dest_interval=d["dest_interval"], dest_offset=d["dest_offset"],
+        n=d["n"], r=d["r"], col_id=d["col_id"], threshold=d["threshold"],
+        bwt_r=d["bwt_r"])
+    pattern = docs[0][30:90]
+    p1, c1 = O.query_pml_oracle(tbl, pattern)
+    p2, c2 = O.query_pml_oracle(loaded, pattern)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(c1, c2)
