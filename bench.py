@@ -72,6 +72,7 @@ def get_index_and_table():
             bwt_r=int(z["meta"][2]))
         return index, tbl
 
+    from colbwt_tpu.io import native
     from colbwt_tpu.ops import construct_jax as CJ
     from colbwt_tpu.ops.colsplit_jax import col_split_jax
 
@@ -79,9 +80,13 @@ def get_index_and_table():
     docs = make_docs()
     t0 = time.perf_counter()
     text, ranks, doc_ids = O.concat_collection(docs)
-    sa, _, pyr = CJ.suffix_array_jax(ranks, with_pyramid=True)
-    lcp = CJ.lcp_jax(ranks, sa, pyr)
-    del pyr
+    if native.available():
+        sa = native.suffix_array_sais(ranks)
+        lcp = native.lcp_kasai(ranks, sa)
+    else:
+        sa, _, pyr = CJ.suffix_array_jax(ranks, with_pyramid=True)
+        lcp = CJ.lcp_jax(ranks, sa, pyr)
+        del pyr
     heads, lens = O.rle(O.bwt_from_sa(text, sa))
     fl = O.build_fl_table(heads, lens)
     ml, mp = CJ.find_multi_mums_jax(ranks, sa, lcp, doc_ids, N_DOCS, 20)

@@ -53,6 +53,8 @@ def _load() -> ctypes.CDLL | None:
     lib.fasta_count.argtypes = [u8p, ctypes.c_int64]
     lib.fasta_parse.restype = ctypes.c_int64
     lib.fasta_parse.argtypes = [u8p, ctypes.c_int64, u8p, i64p, i64p, i64p, i64p]
+    lib.suffix_array_sais.restype = None
+    lib.suffix_array_sais.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p]
     _lib = lib
     return lib
 
@@ -137,6 +139,23 @@ def parse_fasta_bytes(data: bytes):
         name = raw[name_off[i]:name_off[i] + name_len[i]].decode()
         seq = sq[seq_off[i]:seq_off[i] + seq_len[i]]
         out.append((name, seq))
+    return out
+
+
+def suffix_array_sais(ranks: np.ndarray) -> np.ndarray:
+    """Linear-time SA-IS suffix array over the rank text (values >= 1).
+
+    The host-side fast path for index construction — the libdivsufsort/PFP
+    role of the reference's mumemto stage (SURVEY §2.2)."""
+    lib = _load()
+    assert lib is not None
+    s = np.ascontiguousarray(ranks, dtype=np.int64)
+    if s.size and int(s.min()) < 1:
+        raise ValueError("rank text values must be >= 1 (0 is the sentinel)")
+    out = np.empty(s.size, dtype=np.int64)
+    K = int(s.max()) + 1 if s.size else 1
+    lib.suffix_array_sais(_p(s, ctypes.c_int64), s.size, K,
+                          _p(out, ctypes.c_int64))
     return out
 
 

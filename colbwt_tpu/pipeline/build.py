@@ -83,7 +83,15 @@ def stage_mums(docs: list[bytes], prefix: str, cfg: ColBwtConfig, logger):
         n = text.size
         use_device = n >= _DEVICE_MIN_N
         with status("suffix array + LCP", logger):
-            if use_device:
+            # preference order: native SA-IS (linear time — the
+            # libdivsufsort/PFP role of the reference's mumemto stage),
+            # then the device prefix-doubling path, then the host oracle
+            from colbwt_tpu.io import native as native_lib
+
+            if native_lib.available():
+                sa = native_lib.suffix_array_sais(ranks)
+                lcp = native_lib.lcp_kasai(ranks, sa)
+            elif use_device:
                 from colbwt_tpu.ops import construct_jax as CJ
                 sa, _, pyr = CJ.suffix_array_jax(ranks, with_pyramid=True)
                 lcp = CJ.lcp_jax(ranks, sa, pyr)

@@ -53,3 +53,39 @@ def test_native_fasta_parse(rng, tmp_path):
     # python reader agrees
     got2 = list(read_fasta(tmp_path / "x.fa"))
     assert [(r.name, r.seq) for r in got2] == [(r.name, r.seq) for r in recs]
+
+
+def test_native_sais_matches_oracle(rng):
+    for trial in range(6):
+        docs = random_docs(rng, int(rng.integers(1, 5)), lo=10, hi=200)
+        _, ranks, _ = O.concat_collection(docs)
+        sa_o = O.suffix_array(ranks)
+        sa_n = native.suffix_array_sais(ranks)
+        np.testing.assert_array_equal(sa_n, sa_o, err_msg=f"trial {trial}")
+
+
+def test_native_sais_repetitive():
+    # heavy repetition stresses the LMS recursion
+    docs = [b"ACGT" * 50, b"ACGT" * 50, b"AC" * 100, b"A" * 123, b"ACGTACGT" * 25]
+    _, ranks, _ = O.concat_collection(docs)
+    np.testing.assert_array_equal(native.suffix_array_sais(ranks),
+                                  O.suffix_array(ranks))
+
+
+def test_native_sais_scale(rng):
+    # ~1MB pangenome-shaped input: agreement with prefix doubling
+    base = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), 250_000)
+    docs = []
+    for _ in range(4):
+        a = base.copy()
+        i = rng.integers(0, a.size, 2500)
+        a[i] = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), i.size)
+        docs.append(a.tobytes())
+    _, ranks, _ = O.concat_collection(docs)
+    import time
+    t0 = time.perf_counter()
+    sa_n = native.suffix_array_sais(ranks)
+    t_sais = time.perf_counter() - t0
+    sa_o = O.suffix_array(ranks)
+    np.testing.assert_array_equal(sa_n, sa_o)
+    assert t_sais < 10.0, f"SA-IS too slow: {t_sais}s for 1MB"
