@@ -135,13 +135,13 @@ def bench_tpu(index, reads) -> float:
     lens_j = jnp.asarray(lens)
 
     t0 = time.perf_counter()
-    p, c = query_mega.query_batch_mega(mt, enc_j, lens_j)
+    p, c = query_mega.query_batch_mega(mt, enc_j, lens_j, ff_bound=index.ff_bound)
     _ = np.asarray(p[:, -1]).sum()  # force full execution + transfer wait
     log(f"[bench] first call (transfer+compile) {time.perf_counter()-t0:.1f}s")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        p, c = query_mega.query_batch_mega(mt, enc_j, lens_j)
+        p, c = query_mega.query_batch_mega(mt, enc_j, lens_j, ff_bound=index.ff_bound)
         _ = int(np.asarray(p[:, -1]).sum())
         times.append(time.perf_counter() - t0)
     best = min(times)

@@ -24,7 +24,7 @@ ASCII_ART = r"""
 """
 
 CLEAN_EXTS = ["bwt", "thr_pos", "col_mums", "bwt.heads", "bwt.len",
-              "col_ids", "col_runs"]
+              "col_ids", "col_runs", "col_pml"]
 
 
 def _build(args: argparse.Namespace) -> int:

@@ -114,10 +114,15 @@ class ColPmlIndex:
     @classmethod
     def build(cls, tbl: LFTableArrays, ff_bound: int = 4) -> "ColPmlIndex":
         """from_table + run splitting so the LF fast-forward is statically
-        bounded at ff_bound (ops.run_split; Movi-style splitting [inferred])."""
-        from colbwt_tpu.ops.run_split import split_runs_bounded_ff
+        bounded (ops.run_split; Movi-style splitting [inferred]).
+
+        The recorded bound is the *achieved* maximum LF-image span, which can
+        exceed the requested ff_bound on self-overlapping repeat runs — the
+        engines unroll to whatever is recorded."""
+        from colbwt_tpu.ops.run_split import max_ff_span, split_runs_bounded_ff
         split = split_runs_bounded_ff(tbl, ff_bound)
-        return cls.from_table(split, ff_bound=ff_bound)
+        achieved = max(ff_bound, max_ff_span(split))
+        return cls.from_table(split, ff_bound=achieved)
 
     # ------------------------------------------------------------------
     def encode_patterns(self, patterns: list[bytes], max_len: int | None = None

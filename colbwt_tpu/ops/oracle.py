@@ -143,12 +143,11 @@ def rle(bwt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return b[boundaries], lens
 
 
-def normalize_heads(heads: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Map chars <= TERMINATOR to TERMINATOR and merge now-equal adjacent runs.
-
-    Readers in the reference apply the mapping per run without re-merging
-    (include/ds/LF_table.hpp:111); our writer emits already-normalized heads so
-    both behaviors coincide."""
+def normalize_heads(heads: np.ndarray) -> np.ndarray:
+    """Map chars <= TERMINATOR to TERMINATOR (no run re-merging — the
+    reference's readers apply the same per-run mapping without merging,
+    include/ds/LF_table.hpp:111; our writer emits heads from an
+    already-normalized BWT so adjacent equal runs cannot arise there)."""
     h = np.asarray(heads, dtype=np.uint8).copy()
     h[h <= TERMINATOR] = TERMINATOR
     return h

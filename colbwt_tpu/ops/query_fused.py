@@ -131,11 +131,15 @@ def query_batch_fused(ft: dict, patterns: jnp.ndarray, lengths: jnp.ndarray,
         match = char_i == c
 
         jrows = jnp.take(jump_rows, c * r + interval, axis=0, mode="clip")  # 2
+        # reposition priority (threshold_step, include/col_bwt.hpp:531-574):
+        # pred if pos < thr AND a predecessor exists; else succ if one exists
+        # (thr == n encodes "no successor"); else LF from the current state
         thr = jrows[:, 0]
         use_pred = pos < thr
         has_pred = jrows[:, 4] >= 0
+        has_succ = thr < n
         take_pred = (~match) & use_pred & has_pred
-        take_succ = (~match) & (~use_pred)
+        take_succ = (~match) & (~take_pred) & has_succ
 
         # match / fallback path: LF from (interval, offset) with bounded ff
         di = rows[:, 2]

@@ -40,8 +40,8 @@ NO_STATE = -1
 
 
 def build_mega_table(index: ColPmlIndex) -> dict:
-    if index.ff_bound != 2:
-        raise ValueError("mega engine requires a k=2 run-split index "
+    if index.ff_bound < 2:
+        raise ValueError("mega engine requires a run-split index "
                          "(ColPmlIndex.build(tbl, ff_bound=2))")
     r, n = index.r, index.n
     char = index.char.astype(np.int64)
@@ -89,6 +89,7 @@ def build_mega_table(index: ColPmlIndex) -> dict:
 
     return {
         "mega": jnp.asarray(mega),
+        "length": jnp.asarray(length.astype(np.int32)),
         "n": jnp.int32(n),
         "r": jnp.int32(r),
         "last_len": jnp.int32(int(length[r - 1])),
@@ -107,16 +108,23 @@ def initial_state(mt: dict, batch: int):
             jnp.zeros((B,), dtype=jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("unroll",))
+@functools.partial(jax.jit, static_argnames=("unroll", "ff_bound"))
 def query_chunk_mega(mt: dict, patterns: jnp.ndarray, lengths: jnp.ndarray,
-                     state, step_offset: jnp.ndarray, unroll: int = 4):
+                     state, step_offset: jnp.ndarray, unroll: int = 4,
+                     ff_bound: int = 2):
     """One chunk of the backward scan with carried state (long-read streaming,
     the -l mode of src/pml_query.cpp:126-128 re-imagined as chunked device
     scans).  `lengths` are the full read lengths; a lane is active while
-    step_offset + i < length.  Returns ((pml, cid), final_state)."""
+    step_offset + i < length.  Returns ((pml, cid), final_state).
+
+    ff_bound is the index's achieved LF-image span: the first fast-forward
+    round uses the precomputed destination-run length in the mega row, any
+    further rounds gather from the length array."""
     B, M = patterns.shape
     r = mt["r"]
+    n = mt["n"]
     mega = mt["mega"]
+    length_arr = mt["length"]
 
     cols = patterns[:, ::-1].T
     steps = jnp.arange(M, dtype=jnp.int32) + step_offset
@@ -130,18 +138,28 @@ def query_chunk_mega(mt: dict, patterns: jnp.ndarray, lengths: jnp.ndarray,
         match = rows[:, 0] == 1
         cid_out = rows[:, 1]
 
-        # match / no-reposition path: LF + single k=2 fast-forward round
+        # match / no-reposition path: LF + fast-forward (first round from the
+        # precomputed dest-run length, further rounds gathered)
         doff = rows[:, 3] + offset
         lf_pos = rows[:, 4] + offset
         over = doff >= rows[:, 5]
         di = rows[:, 2] + over.astype(jnp.int32)
         doff = doff - jnp.where(over, rows[:, 5], 0)
+        for _ in range(ff_bound - 2):
+            ln = jnp.take(length_arr, di, mode="clip")
+            over = doff >= ln
+            di = di + over.astype(jnp.int32)
+            doff = doff - jnp.where(over, ln, 0)
 
+        # reposition priority (threshold_step, include/col_bwt.hpp:531-574):
+        # pred if pos < thr AND a predecessor exists; else succ if one exists
+        # (thr == n encodes "no successor"); else LF from the current state
         thr = rows[:, 6]
         use_pred = pos < thr
         has_pred = rows[:, 10] >= 0
+        has_succ = thr < n
         take_pred = (~match) & use_pred & has_pred
-        take_succ = (~match) & (~use_pred)
+        take_succ = (~match) & (~take_pred) & has_succ
 
         new_interval = jnp.where(take_pred, rows[:, 10],
                                  jnp.where(take_succ, rows[:, 7], di))
@@ -163,12 +181,13 @@ def query_chunk_mega(mt: dict, patterns: jnp.ndarray, lengths: jnp.ndarray,
     return (pml_steps.T[:, ::-1], cid_steps.T[:, ::-1]), final
 
 
-@functools.partial(jax.jit, static_argnames=("unroll",))
+@functools.partial(jax.jit, static_argnames=("unroll", "ff_bound"))
 def query_batch_mega(mt: dict, patterns: jnp.ndarray, lengths: jnp.ndarray,
-                     unroll: int = 4) -> tuple[jnp.ndarray, jnp.ndarray]:
+                     unroll: int = 4, ff_bound: int = 2
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     (pml, cid), _ = query_chunk_mega(
         mt, patterns, lengths, initial_state(mt, patterns.shape[0]),
-        jnp.int32(0), unroll=unroll)
+        jnp.int32(0), unroll=unroll, ff_bound=ff_bound)
     return pml, cid
 
 
@@ -197,7 +216,8 @@ def query_long_reads(index: ColPmlIndex, patterns: list[bytes],
         lo = M - (j + 1) * chunk
         cols = enc_j[:, lo:lo + chunk]
         (pml, cid), state = query_chunk_mega(
-            mt, cols, lens_j, state, jnp.int32(j * chunk))
+            mt, cols, lens_j, state, jnp.int32(j * chunk),
+            ff_bound=index.ff_bound)
         pml_full[:, lo:lo + chunk] = np.asarray(pml)
         cid_full[:, lo:lo + chunk] = np.asarray(cid)
     return ([pml_full[b, M - int(lens[b]):] for b in range(B)],
@@ -210,7 +230,8 @@ def query_batch(index: ColPmlIndex, patterns: list[bytes],
     if mt is None:
         mt = build_mega_table(index)
     enc, lens = index.encode_patterns(patterns, max_len)
-    pml, cid = query_batch_mega(mt, jnp.asarray(enc), jnp.asarray(lens))
+    pml, cid = query_batch_mega(mt, jnp.asarray(enc), jnp.asarray(lens),
+                                ff_bound=index.ff_bound)
     pml = np.asarray(pml)
     cid = np.asarray(cid)
     M = enc.shape[1]

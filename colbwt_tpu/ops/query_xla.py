@@ -57,22 +57,12 @@ def _gather(arr, i):
     return jnp.take(arr, i, axis=0, mode="clip")
 
 
-def lf_fast_forward(length: jnp.ndarray, di: jnp.ndarray, doff: jnp.ndarray,
-                    ff_bound: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched run fast-forward (include/ds/LF_table.hpp:256-259).
-
-    ff_bound == 0: dynamic while_loop until every lane lands (correct for any
-    table).  ff_bound == K > 0: K-1 statically unrolled conditional advances —
-    valid only for tables split by ops.run_split so every LF image spans <= K
-    runs; no dynamic control flow remains in the step (fast compile + fast
-    TPU schedule)."""
-    if ff_bound > 0:
-        for _ in range(ff_bound - 1):
-            ln = _gather(length, di)
-            over = doff >= ln
-            di = di + over.astype(jnp.int32)
-            doff = doff - jnp.where(over, ln, 0)
-        return di, doff
+def lf_fast_forward(length: jnp.ndarray, di: jnp.ndarray, doff: jnp.ndarray
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched dynamic run fast-forward (include/ds/LF_table.hpp:256-259):
+    while_loop until every lane lands — correct for any (unsplit) table.
+    Split tables use the statically unrolled path in query_step instead
+    (no dynamic control flow; 30-300x faster compile, measured)."""
 
     def cond(state):
         di, doff = state
@@ -145,7 +135,7 @@ def query_step(tb: dict[str, jnp.ndarray], state, c: jnp.ndarray,
             di = di + over.astype(jnp.int32)
             doff = doff - jnp.where(over, ln, 0)
     else:
-        di, doff = lf_fast_forward(tb["length"], di, doff, ff_bound)
+        di, doff = lf_fast_forward(tb["length"], di, doff)
 
     # frozen lanes (padding) keep their state
     interval = jnp.where(valid, di, interval)

@@ -32,14 +32,18 @@ def _lf_dest_positions(char: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return dest
 
 
-def split_runs_bounded_ff(tbl: LFTableArrays, k: int = 4, max_rounds: int = 64
-                          ) -> LFTableArrays:
-    """Return a new LF table whose every run's LF image spans <= k runs.
+def split_runs_bounded_ff(tbl: LFTableArrays, k: int = 4, max_rounds: int = 64,
+                          strict: bool = False) -> LFTableArrays:
+    """Return a new LF table whose every run's LF image spans few runs,
+    targeting <= k.
 
     Iterates: find violating runs, cut them at the pre-images of every k-th
-    overlapped run boundary, rebuild.  Converges because each round only adds
-    boundaries and the image-span of any piece is bounded by its source length.
-    """
+    overlapped run boundary, rebuild.  Runs whose LF image overlaps
+    *themselves* (long self-mapping repeats) can oscillate — each cut inserts
+    a boundary into the run's own image — so exact k is not always reachable;
+    after max_rounds the best achieved bound stands (query engines unroll to
+    the *achieved* bound, read it back with max_ff_span).  strict=True raises
+    instead."""
     if k < 1:
         raise ValueError("k must be >= 1")
     char = np.asarray(tbl.char, dtype=np.uint8)
@@ -82,7 +86,8 @@ def split_runs_bounded_ff(tbl: LFTableArrays, k: int = 4, max_rounds: int = 64
         if thr is not None:
             thr = thr[owner][keep]
     else:
-        raise RuntimeError(f"run splitting did not converge to k={k}")
+        if strict:
+            raise RuntimeError(f"run splitting did not converge to k={k}")
 
     out = build_lf_table(char, lens)
     out.col_id = col_id

@@ -37,6 +37,10 @@ def shard_mega(index: ColPmlIndex, mesh: Mesh, mt: dict | None = None) -> dict:
             [mega, np.zeros((pad, mega.shape[1]), mega.dtype)])
     return {
         "mega": jax.device_put(mega, NamedSharding(mesh, P("ip", None))),
+        # run lengths replicated (4 B/run) for fast-forward rounds beyond the
+        # precomputed first one
+        "length": jax.device_put(np.asarray(mt["length"]),
+                                 NamedSharding(mesh, P())),
         "rows_padded": mega.shape[0],
         "n": int(mt["n"]),
         "r": int(mt["r"]),
@@ -45,11 +49,12 @@ def shard_mega(index: ColPmlIndex, mesh: Mesh, mt: dict | None = None) -> dict:
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "rows_local", "n", "r",
-                                             "last_len"))
-def _sharded_mega_query(mesh: Mesh, mega: jnp.ndarray, patterns: jnp.ndarray,
+                                             "last_len", "ff_bound"))
+def _sharded_mega_query(mesh: Mesh, mega: jnp.ndarray, length_rep: jnp.ndarray,
+                        patterns: jnp.ndarray,
                         lengths: jnp.ndarray, rows_local: int, n: int, r: int,
-                        last_len: int):
-    def shard_fn(mega_local, pats, lens):
+                        last_len: int, ff_bound: int = 2):
+    def shard_fn(mega_local, length_arr, pats, lens):
         B, M = pats.shape
         ip_idx = jax.lax.axis_index("ip").astype(jnp.int32)
         block_start = ip_idx * rows_local
@@ -80,11 +85,18 @@ def _sharded_mega_query(mesh: Mesh, mega: jnp.ndarray, patterns: jnp.ndarray,
             over = doff >= rows[:, 5]
             di = rows[:, 2] + over.astype(jnp.int32)
             doff = doff - jnp.where(over, rows[:, 5], 0)
+            for _ in range(ff_bound - 2):
+                ln = jnp.take(length_arr, di, mode="clip")
+                over = doff >= ln
+                di = di + over.astype(jnp.int32)
+                doff = doff - jnp.where(over, ln, 0)
+            # reposition priority (threshold_step, include/col_bwt.hpp:531-574)
             thr = rows[:, 6]
             use_pred = pos < thr
             has_pred = rows[:, 10] >= 0
+            has_succ = thr < n
             take_pred = (~match) & use_pred & has_pred
-            take_succ = (~match) & (~use_pred)
+            take_succ = (~match) & (~take_pred) & has_succ
             ni = jnp.where(take_pred, rows[:, 10],
                            jnp.where(take_succ, rows[:, 7], di))
             no = jnp.where(take_pred, rows[:, 11],
@@ -105,10 +117,10 @@ def _sharded_mega_query(mesh: Mesh, mega: jnp.ndarray, patterns: jnp.ndarray,
 
     return jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P("ip", None), P("dp", None), P("dp")),
+        in_specs=(P("ip", None), P(), P("dp", None), P("dp")),
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
-    )(mega, patterns, lengths)
+    )(mega, length_rep, patterns, lengths)
 
 
 def query_batch_sharded_mega(index: ColPmlIndex, patterns: list[bytes],
@@ -132,8 +144,9 @@ def query_batch_sharded_mega(index: ColPmlIndex, patterns: list[bytes],
     ls = jax.device_put(lens, NamedSharding(mesh, P("dp")))
 
     rows_local = st["rows_padded"] // mesh.shape["ip"]
-    pml, cid = _sharded_mega_query(mesh, st["mega"], ps, ls, rows_local,
-                                   st["n"], st["r"], st["last_len"])
+    pml, cid = _sharded_mega_query(mesh, st["mega"], st["length"], ps, ls,
+                                   rows_local, st["n"], st["r"],
+                                   st["last_len"], ff_bound=index.ff_bound)
     pml = np.asarray(pml)
     cid = np.asarray(cid)
     M = enc.shape[1]

@@ -23,7 +23,6 @@ Stage map (reference stage → ours):
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import numpy as np
@@ -102,7 +101,7 @@ def stage_mums(docs: list[bytes], prefix: str, cfg: ColBwtConfig, logger):
         with status("BWT + RLE", logger):
             heads, lens = O.rle(O.bwt_from_sa(text, sa))
         with status("multi-MUMs", logger):
-            if use_device and 2 <= len(docs) <= 64:
+            if use_device and len(docs) >= 2:
                 from colbwt_tpu.ops import construct_jax as CJ
                 ml, mp = CJ.find_multi_mums_jax(
                     ranks, sa, lcp, doc_ids, len(docs), cfg.min_mum)
@@ -180,14 +179,15 @@ def stage_index(prefix: str, cfg: ColBwtConfig, logger):
     """Assemble the queryable run-split index (the movi-split build role)."""
     fa = f"{prefix}.fa"
     out = Path(f"{prefix}.colpml.npz")
-    if out.exists() and not cfg.force:
+    col_pml_out = Path(f"{fa}.col_pml")
+    if _exists(out, col_pml_out) and not cfg.force:
         logger.info("[index] exists, skipping")
         return
     try:
         heads, lens = F.read_rlbwt(fa, cfg.rw_bytes)
         thr = F.read_thresholds_file(f"{fa}.thr_pos", cfg.rw_bytes)
         bv = F.read_sdsl_bit_vector(f"{fa}.col_runs")
-        ids = F.read_col_ids(f"{fa}.col_ids")
+        ids = F.read_col_ids(f"{fa}.col_ids", (cfg.id_bits + 7) // 8)
         bits = np.flatnonzero(bv)
         with status("col_pml table", logger):
             tbl = O.build_col_pml(heads, lens, bits, ids.astype(np.int64),
@@ -205,7 +205,7 @@ def stage_index(prefix: str, cfg: ColBwtConfig, logger):
         logger.info("[index] r=%d (bwt_r=%d) ff_bound=%d bytes=%d",
                     index.r, index.bwt_r, index.ff_bound, index.nbytes())
     except Exception:
-        _cleanup([out])
+        _cleanup([out, col_pml_out])
         raise
 
 
@@ -255,12 +255,23 @@ def query_pipeline(index_prefix: str, pattern_file: str,
         reads.append(rec.seq.upper())
     logger.info("querying %d reads against r=%d index", len(reads), index.r)
 
-    use_mega = (index.ff_bound == 2 and cfg.engine in ("auto", "mega"))
+    use_mega = (index.ff_bound >= 2 and cfg.engine in ("auto", "mega"))
+    use_fused = (not use_mega and index.ff_bound >= 1
+                 and cfg.engine in ("auto", "fused"))
     mt = query_mega.build_mega_table(index) if use_mega else None
+    ft = None
+    if use_fused:
+        from colbwt_tpu.ops import query_fused
+
+        ft = query_fused.build_fused_tables(index)
 
     def run_batch(batch: list[bytes], padded: int):
         if use_mega:
             return query_mega.query_batch(index, batch, max_len=padded, mt=mt)
+        if use_fused:
+            from colbwt_tpu.ops import query_fused
+
+            return query_fused.query_batch(index, batch, max_len=padded, ft=ft)
         return query_xla.query_batch(index, batch, max_len=padded)
 
     # bucket by padded length to bound recompilation while avoiding wasted

@@ -39,9 +39,8 @@ def test_mega_matches_baseline(rng):
         np.testing.assert_array_equal(a, b)
 
 
-def test_mega_rejects_wrong_bound(rng):
+def test_mega_rejects_unsplit_index(rng):
     docs = random_docs(rng, 2, lo=50, hi=90)
-    tbl, _ = build_index(docs)
-    i4 = ColPmlIndex.build(tbl, ff_bound=4)
-    with pytest.raises(ValueError, match="k=2"):
-        query_mega.build_mega_table(i4)
+    tbl, unsplit = build_index(docs)  # from_table: ff_bound == 0
+    with pytest.raises(ValueError, match="run-split"):
+        query_mega.build_mega_table(unsplit)
