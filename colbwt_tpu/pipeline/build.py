@@ -265,14 +265,27 @@ def query_pipeline(index_prefix: str, pattern_file: str,
 
         ft = query_fused.build_fused_tables(index)
 
-    def run_batch(batch: list[bytes], padded: int):
+    def dispatch_batch(batch: list[bytes], padded: int):
+        """Enqueue one device batch without blocking (JAX async dispatch);
+        returns (device_pml, device_cid, lens) to materialize later —
+        back-to-back batches overlap host transfer with device compute."""
+        import jax.numpy as jnp
+
+        enc, lens = index.encode_patterns(batch, padded)
+        ej, lj = jnp.asarray(enc), jnp.asarray(lens)
         if use_mega:
-            return query_mega.query_batch(index, batch, max_len=padded, mt=mt)
-        if use_fused:
+            p, c = query_mega.query_batch_mega(mt, ej, lj,
+                                               ff_bound=index.ff_bound)
+        elif use_fused:
             from colbwt_tpu.ops import query_fused
 
-            return query_fused.query_batch(index, batch, max_len=padded, ft=ft)
-        return query_xla.query_batch(index, batch, max_len=padded)
+            p, c = query_fused.query_batch_fused(ft, ej, lj,
+                                                 ff_bound=index.ff_bound)
+        else:
+            tb = query_xla.index_device_arrays(index)
+            p, c = query_xla.query_batch_device(tb, ej, lj,
+                                                ff_bound=index.ff_bound)
+        return p, c, lens
 
     # bucket by padded length to bound recompilation while avoiding wasted
     # steps; long reads stream in chunks with carried state (the -l mode,
@@ -288,13 +301,21 @@ def query_pipeline(index_prefix: str, pattern_file: str,
             continue
         padded = 1 << (m - 1).bit_length()
         buckets.setdefault(padded, []).append(i)
+    # phase 1: dispatch every bucketed batch (async); phase 2: materialize
+    pending = []
     for padded, idxs in sorted(buckets.items()):
         for off in range(0, len(idxs), cfg.batch_size):
             chunk = idxs[off:off + cfg.batch_size]
-            p, c = run_batch([reads[i] for i in chunk], padded)
-            for j, i in enumerate(chunk):
-                pmls[i] = p[j]
-                cids[i] = c[j]
+            pending.append(
+                (chunk, padded, dispatch_batch([reads[i] for i in chunk],
+                                               padded)))
+    for chunk, padded, (p_dev, c_dev, lens) in pending:
+        p = np.asarray(p_dev)
+        c = np.asarray(c_dev)
+        for j, i in enumerate(chunk):
+            m = int(lens[j])
+            pmls[i] = p[j, padded - m:]
+            cids[i] = c[j, padded - m:]
     for off in range(0, len(long_idxs), max(1, cfg.batch_size // 16)):
         chunk = long_idxs[off:off + max(1, cfg.batch_size // 16)]
         p, c = query_mega.query_long_reads(
