@@ -130,8 +130,10 @@ def bench_tpu(index, reads) -> float:
     mt = query_mega.build_mega_table(index)
     log(f"[bench] mega table {time.perf_counter()-t0:.1f}s "
         f"({mt['mega'].nbytes / 1e6:.0f} MB)")
+    from colbwt_tpu.utils.xfer import device_put_chunked
+
     enc, lens = index.encode_patterns(reads, max_len=READ_LEN)
-    enc_j = jnp.asarray(enc)
+    enc_j = device_put_chunked(enc)
     lens_j = jnp.asarray(lens)
 
     t0 = time.perf_counter()

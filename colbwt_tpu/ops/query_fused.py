@@ -91,9 +91,11 @@ def build_fused_tables(index: ColPmlIndex) -> dict:
         block[:, 5] = p_off
         block[:, 6] = p_pos
 
+    from colbwt_tpu.utils.xfer import device_put_chunked
+
     return {
-        "run_rows": jnp.asarray(run_rows),
-        "jump_rows": jnp.asarray(jump_rows),
+        "run_rows": device_put_chunked(run_rows),
+        "jump_rows": device_put_chunked(jump_rows),
         "length": jnp.asarray(length.astype(np.int32)),
         "n": jnp.int32(n),
         "r": jnp.int32(r),

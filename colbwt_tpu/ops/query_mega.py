@@ -87,8 +87,10 @@ def build_mega_table(index: ColPmlIndex) -> dict:
         p_int, p_off, p_pos = resolve(p_run, length[p_run] - 1, has_pred)
         blk[:, 10], blk[:, 11], blk[:, 12] = p_int, p_off, p_pos
 
+    from colbwt_tpu.utils.xfer import device_put_chunked
+
     return {
-        "mega": jnp.asarray(mega),
+        "mega": device_put_chunked(mega),
         "length": jnp.asarray(length.astype(np.int32)),
         "n": jnp.int32(n),
         "r": jnp.int32(r),

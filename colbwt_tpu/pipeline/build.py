@@ -271,8 +271,10 @@ def query_pipeline(index_prefix: str, pattern_file: str,
         back-to-back batches overlap host transfer with device compute."""
         import jax.numpy as jnp
 
+        from colbwt_tpu.utils.xfer import device_put_chunked
+
         enc, lens = index.encode_patterns(batch, padded)
-        ej, lj = jnp.asarray(enc), jnp.asarray(lens)
+        ej, lj = device_put_chunked(enc), jnp.asarray(lens)
         if use_mega:
             p, c = query_mega.query_batch_mega(mt, ej, lj,
                                                ff_bound=index.ff_bound)
