@@ -164,7 +164,14 @@ def stage_colsplit(prefix: str, cfg: ColBwtConfig, logger):
                     fl, ml, mp, num_docs, cfg.split_rate, cfg.mode.value,
                     cfg.id_bits)
         with status("find_col_runs sweep", logger):
-            bits, ids = O.find_col_runs_oracle(mpos, mids, mhts, fl.l_heads, fl.n)
+            if mhts.size and (mhts == mhts[0]).all():
+                # tunneled mode: uniform heights -> vectorized FIFO sweep
+                from colbwt_tpu.ops.colruns_vec import find_col_runs_uniform
+                bits, ids = find_col_runs_uniform(mpos, mids, int(mhts[0]),
+                                                  fl.l_heads, fl.n)
+            else:
+                bits, ids = O.find_col_runs_oracle(mpos, mids, mhts,
+                                                   fl.l_heads, fl.n)
         bv = np.zeros(fl.n, dtype=bool)
         bv[bits] = True
         F.write_sdsl_bit_vector(outs[0], bv)
