@@ -28,6 +28,7 @@ import numpy as np
 from colbwt_tpu.ops.oracle import LFTableArrays
 
 INT32_MAX = 2**31 - 1
+MAX_WIDE_RUN_LEN = 2**29  # run-length cap when n >= 2**31 (one int32 limb)
 
 # sentinel conventions for jump tables
 NO_PRED = -1  # pred_jump value when no c-run at or before
@@ -62,17 +63,29 @@ class ColPmlIndex:
     def sigma(self) -> int:
         return int(self.alphabet.size)
 
+    @property
+    def wide(self) -> bool:
+        """True when n >= 2**31: idx/threshold are int64 and querying must go
+        through ops.query_mega_wide (split-word positions on device)."""
+        return self.n > INT32_MAX
+
     # ------------------------------------------------------------------
     @classmethod
     def from_table(cls, tbl: LFTableArrays, ff_bound: int = 0) -> "ColPmlIndex":
         """Build from the oracle's LF table (with col_id + threshold).
 
         Pass ff_bound=K when `tbl` was produced by ops.run_split with bound K
-        (enables the statically-unrolled LF fast-forward in the engines)."""
-        if tbl.n > INT32_MAX:
-            raise NotImplementedError(
-                f"n = {tbl.n} exceeds int32; 40-bit split-word layout pending")
+        (enables the statically-unrolled LF fast-forward in the engines).
+
+        When n >= 2**31 (HPRC-scale, reference budget n < 2**40 at
+        include/ds/LF_table.hpp:36-39) the position-valued fields idx and
+        threshold stay int64 host-side (`.wide` becomes True) and querying
+        goes through ops.query_mega_wide, which carries positions as two
+        int32 limbs on device; run-valued fields remain int32 (r < 2**31,
+        matching the reference's RUN_BYTES=4)."""
         r = tbl.r
+        wide = tbl.n > INT32_MAX
+        pos_dtype = np.int64 if wide else np.int32
         heads = np.asarray(tbl.char, dtype=np.uint8)
         alphabet = np.unique(heads)
         char_map = np.full(256, alphabet.size, dtype=np.int32)
@@ -95,11 +108,16 @@ class ColPmlIndex:
 
         col_id = (np.zeros(r, dtype=np.int32) if tbl.col_id is None
                   else np.asarray(tbl.col_id, dtype=np.int32))
-        threshold = (np.zeros(r, dtype=np.int32) if tbl.threshold is None
-                     else np.asarray(tbl.threshold, dtype=np.int32))
+        threshold = (np.zeros(r, dtype=pos_dtype) if tbl.threshold is None
+                     else np.asarray(tbl.threshold, dtype=pos_dtype))
+        if wide and int(np.asarray(tbl.length).max(initial=0)) > MAX_WIDE_RUN_LEN:
+            raise ValueError(
+                "wide tables need run lengths <= 2**29 so offsets fit one "
+                "int32 limb; build with ColPmlIndex.build (applies "
+                "split_runs_max_len)")
         return cls(
             char=dense.astype(np.int32),
-            idx=np.asarray(tbl.idx, dtype=np.int32),
+            idx=np.asarray(tbl.idx, dtype=pos_dtype),
             length=np.asarray(tbl.length, dtype=np.int32),
             dest_interval=np.asarray(tbl.dest_interval, dtype=np.int32),
             dest_offset=np.asarray(tbl.dest_offset, dtype=np.int32),
@@ -118,8 +136,14 @@ class ColPmlIndex:
 
         The recorded bound is the *achieved* maximum LF-image span, which can
         exceed the requested ff_bound on self-overlapping repeat runs — the
-        engines unroll to whatever is recorded."""
-        from colbwt_tpu.ops.run_split import max_ff_span, split_runs_bounded_ff
+        engines unroll to whatever is recorded.  Wide tables (n >= 2**31)
+        additionally get their run lengths capped so offsets fit one int32
+        limb."""
+        from colbwt_tpu.ops.run_split import (max_ff_span,
+                                              split_runs_bounded_ff,
+                                              split_runs_max_len)
+        if tbl.n > INT32_MAX:
+            tbl = split_runs_max_len(tbl, MAX_WIDE_RUN_LEN)
         split = split_runs_bounded_ff(tbl, ff_bound)
         achieved = max(ff_bound, max_ff_span(split))
         return cls.from_table(split, ff_bound=achieved)

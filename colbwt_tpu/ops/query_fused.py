@@ -40,6 +40,9 @@ NO_STATE = -1
 
 def build_fused_tables(index: ColPmlIndex) -> dict:
     """Precompute the packed row and jump mega-tables (host, vectorized)."""
+    if index.wide:
+        raise ValueError("n >= 2**31: int32 positions would overflow — "
+                         "use ops.query_mega_wide")
     r, n = index.r, index.n
     char = index.char.astype(np.int32)
     col_id = index.col_id.astype(np.int32)

@@ -43,6 +43,9 @@ def build_mega_table(index: ColPmlIndex) -> dict:
     if index.ff_bound < 2:
         raise ValueError("mega engine requires a run-split index "
                          "(ColPmlIndex.build(tbl, ff_bound=2))")
+    if index.wide:
+        raise ValueError("n >= 2**31: int32 positions would overflow — "
+                         "use ops.query_mega_wide")
     r, n = index.r, index.n
     char = index.char.astype(np.int64)
     col_id = index.col_id.astype(np.int64)

@@ -38,6 +38,9 @@ from colbwt_tpu.models.index import ColPmlIndex
 
 def index_device_arrays(index: ColPmlIndex) -> dict[str, jnp.ndarray]:
     """The index fields as a dict of int32 device arrays (jit-friendly)."""
+    if index.wide:
+        raise ValueError("n >= 2**31: this engine's int32 positions would "
+                         "overflow — use ops.query_mega_wide")
     return {
         "char": jnp.asarray(index.char, dtype=jnp.int32),
         "idx": jnp.asarray(index.idx, dtype=jnp.int32),

@@ -96,6 +96,43 @@ def split_runs_bounded_ff(tbl: LFTableArrays, k: int = 4, max_rounds: int = 64,
     return out
 
 
+def split_runs_max_len(tbl: LFTableArrays, max_len: int) -> LFTableArrays:
+    """Cut every run longer than max_len into <= max_len pieces.
+
+    Needed by the wide (n >= 2**31) engines: intra-run offsets and
+    destination offsets must fit one int32 limb (ops.query_mega_wide), so run
+    lengths are capped at 2**29-class values.  Semantics-preserving for the
+    same reason ff splitting is (sub-runs inherit char/col_id/threshold and
+    LF is a function of rank positions).  Run AFTER this the ff-bound pass —
+    ff cuts only shorten runs, so the cap survives; cap cuts can widen other
+    runs' LF spans, which the ff pass then fixes.
+    """
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    lens = np.asarray(tbl.length, dtype=np.int64)
+    counts = (lens - 1) // max_len  # extra cuts per run
+    bad = np.flatnonzero(counts > 0)
+    if bad.size == 0:
+        return tbl
+    char = np.asarray(tbl.char, dtype=np.uint8)
+    starts = np.zeros(char.size, dtype=np.int64)
+    starts[1:] = np.cumsum(lens[:-1])
+    c = counts[bad]
+    rep = np.repeat(bad, c)
+    jj = np.arange(rep.size, dtype=np.int64) - np.repeat(np.cumsum(c) - c, c) + 1
+    cut_abs = starts[rep] + jj * max_len
+    bounds = np.concatenate([starts, cut_abs])
+    bounds.sort(kind="stable")
+    owner = np.searchsorted(starts, bounds, side="right") - 1
+    new_lens = np.diff(np.r_[bounds, int(lens.sum())])
+    out = build_lf_table(char[owner], new_lens)
+    out.col_id = None if tbl.col_id is None else np.asarray(tbl.col_id)[owner]
+    out.threshold = (None if tbl.threshold is None
+                     else np.asarray(tbl.threshold, dtype=np.int64)[owner])
+    out.bwt_r = tbl.bwt_r
+    return out
+
+
 def max_ff_span(tbl: LFTableArrays) -> int:
     """Largest number of runs any run's LF image overlaps (the fast-forward
     bound actually achieved)."""
