@@ -16,9 +16,10 @@ SURVEY §3.2 hot loop).  The TPU formulation advances *every* MUM in lockstep:
   range into N unit walkers.  A fragment splits between walker d-1 and d
   exactly when walker d's position is a run head, and splits are permanent —
   so a walker is a fragment head iff d == 0 or any of its past positions was
-  a run head.  Fragment heights are segment sizes of the cumulative-split ids.
-  Requires N <= 64 here (cost O(M·N) per step); big-N All-mode falls back to
-  the host oracle.
+  a run head.  Fragment heights come from O(N) segment arithmetic (a head's
+  height is the distance to the next head, via a reverse cummin of head
+  indices), so cost per step is O(M·N·log r) for any document count — the
+  bucketing budget (area x num_docs) bounds the walk footprint, no N cap.
 
 Mark-merge semantics (collect_ids, include/col_split.hpp:114-127) are
 reproduced order-independently: Tunneled keeps the last mark in reference
@@ -96,17 +97,27 @@ def _all_walk(fd, p0: jnp.ndarray, lens: jnp.ndarray,
     def step(carry, t0):
         p, sep = carry
         active = (t0 < lens)[:, None]
-        i = jnp.searchsorted(fd["idx"], p.reshape(-1), side="right").reshape(M, N) - 1
-        is_head = p == jnp.take(fd["idx"], i, mode="clip")
+        flat = p.reshape(-1)
+        i = (jnp.searchsorted(fd["idx"], flat, side="right") - 1).astype(jnp.int32)
+        run_start = jnp.take(fd["idx"], i, mode="clip")
+        is_head = (flat == run_start).reshape(M, N)
         new_sep = sep | (is_head & active & (d[None, :] > 0))
-        p_next = _fl_unit(fd, p.reshape(-1)).reshape(M, N)
+        di = jnp.take(fd["dest_interval"], i, mode="clip")
+        doff = jnp.take(fd["dest_offset"], i, mode="clip")
+        p_next = (jnp.take(fd["idx"], di, mode="clip") + doff
+                  + (flat - run_start)).reshape(M, N)
         p_next = jnp.where(active, p_next, p)
-        # fragment ids and sizes
-        fid = jnp.cumsum(new_sep.astype(jnp.int32), axis=1)
-        sizes = jnp.sum(fid[:, :, None] == fid[:, None, :], axis=1)
+        # fragment heights in O(N): a fragment head's height is the distance
+        # to the next head (splits are permanent and walker order is the
+        # fragment order, so segments are [head, next_head))
         first = new_sep | (d[None, :] == 0)
+        head_or_n = jnp.where(first, d[None, :], N)
+        next_head = jnp.concatenate(
+            [jax.lax.cummin(head_or_n, axis=1, reverse=True)[:, 1:],
+             jnp.full((M, 1), N, dtype=head_or_n.dtype)], axis=1)
+        height = next_head - d[None, :]
         valid = first & active & ((t0 % rate) == 0)
-        return (p_next, new_sep), (p_next, sizes, valid)
+        return (p_next, new_sep), (p_next, height, valid)
 
     (_, _), (pos, height, valid) = jax.lax.scan(
         step, (p, sep0), jnp.arange(num_steps, dtype=jnp.int32))
@@ -135,11 +146,6 @@ def col_split_jax(fl: FLTableArrays, mum_lens: np.ndarray, mum_pos: np.ndarray,
         return z, z.copy(), z.copy()
 
     tunneled = mode in ("tunnels", "tunneled")
-    if not tunneled and num_docs > 64:
-        from colbwt_tpu.ops.oracle import col_split_oracle
-        return col_split_oracle(fl, mum_lens, mum_pos, num_docs, split_rate,
-                                mode, id_bits)
-
     fd = fl_device_arrays(fl)
 
     # bucket MUMs (ascending length) so T * M_bucket walk area stays bounded

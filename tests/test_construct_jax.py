@@ -82,6 +82,27 @@ def test_colsplit_device_matches_oracle(rng, mode, rate):
     np.testing.assert_array_equal(ij, io_, err_msg="mark ids")
 
 
+def test_colsplit_all_mode_large_n(rng):
+    """All mode beyond the old 64-document cap: N=96 device == oracle."""
+    base = bytes(rng.choice(list(b"ACGT"), 120).astype("uint8"))
+    docs = []
+    for _ in range(96):  # one SNP per copy so length-5 multi-MUMs survive N=96
+        arr = bytearray(base)
+        p = int(rng.integers(0, len(arr)))
+        arr[p] = b"ACGT"[int(rng.integers(0, 4))]
+        docs.append(bytes(arr))
+    text, ranks, doc_ids, sa, lcp, heads, lens = _pipeline(docs)
+    fl = O.build_fl_table(heads, lens)
+    ml, mp = O.find_multi_mums(ranks, sa, lcp, doc_ids, 96, 5)
+    assert ml.size > 0
+    for rate in (1, 3):
+        po, io_, ho = O.col_split_oracle(fl, ml, mp, 96, rate, "all")
+        pj, ij, hj = CS.col_split_jax(fl, ml, mp, 96, rate, "all")
+        np.testing.assert_array_equal(pj, po, err_msg="mark positions")
+        np.testing.assert_array_equal(hj, ho, err_msg="mark heights")
+        np.testing.assert_array_equal(ij, io_, err_msg="mark ids")
+
+
 def test_colsplit_device_bucketing(rng):
     """Tiny step budget forces many buckets; results must be unchanged."""
     base = bytes(rng.choice(list(b"ACGT"), 300).astype("uint8"))
