@@ -170,8 +170,10 @@ def stage_colsplit(prefix: str, cfg: ColBwtConfig, logger):
                 bits, ids = find_col_runs_uniform(mpos, mids, int(mhts[0]),
                                                   fl.l_heads, fl.n)
             else:
-                bits, ids = O.find_col_runs_oracle(mpos, mids, mhts,
-                                                   fl.l_heads, fl.n)
+                # All mode: mixed heights -> vectorized event-stream sweep
+                from colbwt_tpu.ops.colruns_vec import find_col_runs_mixed
+                bits, ids = find_col_runs_mixed(mpos, mids, mhts,
+                                                fl.l_heads, fl.n)
         bv = np.zeros(fl.n, dtype=bool)
         bv[bits] = True
         F.write_sdsl_bit_vector(outs[0], bv)

@@ -1,10 +1,10 @@
-"""Vectorized uniform-height find_col_runs vs the heapq oracle."""
+"""Vectorized find_col_runs (uniform + mixed heights) vs the heapq oracle."""
 
 import numpy as np
 import pytest
 
 from colbwt_tpu.ops import oracle as O
-from colbwt_tpu.ops.colruns_vec import find_col_runs_uniform
+from colbwt_tpu.ops.colruns_vec import find_col_runs_mixed, find_col_runs_uniform
 from tests.conftest import random_docs
 
 
@@ -47,6 +47,68 @@ def test_uniform_sweep_edges(rng):
     ]
     for p, ids, N in cases:
         _compare(p.astype(np.int64), ids.astype(np.int64), N, heads, n)
+
+
+def _compare_mixed(p, ids, h, heads, n):
+    b1, i1 = O.find_col_runs_oracle(p, ids, h, heads, n)
+    b2, i2 = find_col_runs_mixed(p, ids, h, heads, n)
+    np.testing.assert_array_equal(b2, b1)
+    np.testing.assert_array_equal(i2, i1)
+
+
+def test_mixed_sweep_random(rng):
+    for trial in range(40):
+        n = int(rng.integers(50, 400))
+        m = int(rng.integers(1, 50))
+        p = np.sort(rng.choice(n, size=min(m, n), replace=False)).astype(np.int64)
+        ids = rng.integers(0, 5, p.size).astype(np.int64)  # include id 0
+        h = rng.integers(1, 12, p.size).astype(np.int64)   # mixed heights
+        r = int(rng.integers(2, 30))
+        heads = np.sort(rng.choice(n, size=min(r, n), replace=False)).astype(np.int64)
+        if heads[0] != 0:
+            heads[0] = 0
+            heads = np.unique(heads)
+        _compare_mixed(p, ids, h, heads, n)
+
+
+def test_mixed_sweep_edges():
+    n = 100
+    heads = np.array([0, 10, 50, 90], dtype=np.int64)
+    cases = [
+        # nested: outer interval survives inner's end (transfer)
+        (np.array([5, 8]), np.array([1, 2]), np.array([20, 4])),
+        # identical intervals (duplicate heap tuples)
+        (np.array([5, 5]), np.array([1, 2]), np.array([6, 6])),
+        # equal ends from different starts (heap tie order)
+        (np.array([5, 8]), np.array([1, 2]), np.array([7, 4])),
+        # end of one == start of next (no close strictly-before)
+        (np.array([5, 11]), np.array([1, 2]), np.array([6, 3])),
+        # tall short + shallow long overlapping
+        (np.array([0, 2, 4]), np.array([3, 1, 2]), np.array([3, 30, 3])),
+        # ends beyond n stay open forever
+        (np.array([95, 96]), np.array([1, 2]), np.array([50, 2])),
+        # zero-id marks open/close coverage without claiming
+        (np.array([5, 30]), np.array([0, 4]), np.array([10, 10])),
+        # end exactly at n
+        (np.array([90]), np.array([3]), np.array([10])),
+    ]
+    for p, ids, h in cases:
+        _compare_mixed(p.astype(np.int64), ids.astype(np.int64),
+                       h.astype(np.int64), heads, n)
+
+
+def test_mixed_sweep_real_all_mode(rng):
+    base = bytes(rng.choice(list(b"ACGT"), 400).astype("uint8"))
+    docs = random_docs(rng, 4, mutate_from=base)
+    text, ranks, doc_ids = O.concat_collection(docs)
+    sa = O.suffix_array(ranks)
+    lcp = O.lcp_kasai(ranks, sa)
+    heads, lens = O.rle(O.bwt_from_sa(text, sa))
+    fl = O.build_fl_table(heads, lens)
+    ml, mp = O.find_multi_mums(ranks, sa, lcp, doc_ids, 4, 5)
+    mpos, mids, mhts = O.col_split_oracle(fl, ml, mp, 4, 1, "all")
+    assert np.unique(mhts).size > 1  # genuinely mixed heights
+    _compare_mixed(mpos, mids, mhts, fl.l_heads, fl.n)
 
 
 def test_uniform_sweep_real_pipeline(rng):
