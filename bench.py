@@ -123,27 +123,32 @@ def make_reads(docs_needed: bool = False) -> list[bytes]:
 def bench_tpu(index, reads) -> float:
     import jax
     import jax.numpy as jnp
-    from colbwt_tpu.ops import query_mega
+    from colbwt_tpu.ops import query_pos
 
     log(f"[bench] devices: {jax.devices()}")
+    k = query_pos.choose_k(index)
     t0 = time.perf_counter()
-    mt = query_mega.build_mega_table(index)
-    log(f"[bench] mega table {time.perf_counter()-t0:.1f}s "
-        f"({mt['mega'].nbytes / 1e6:.0f} MB)")
+    pt = query_pos.build_pos_tables(index, k)
+    _ = int(np.asarray(pt["table"][:2, 0]).sum())  # materialize (on-device build)
+    log(f"[bench] pos tables k={k} built in {time.perf_counter()-t0:.1f}s "
+        f"({pt['table'].nbytes / 1e6:.0f} MB)")
     from colbwt_tpu.utils.xfer import device_put_chunked
 
-    enc, lens = index.encode_patterns(reads, max_len=READ_LEN)
+    M = -(-READ_LEN // k) * k  # key folding needs a multiple of k
+    enc, lens = index.encode_patterns(reads, max_len=M)
     enc_j = device_put_chunked(enc)
     lens_j = jnp.asarray(lens)
 
     t0 = time.perf_counter()
-    p, c = query_mega.query_batch_mega(mt, enc_j, lens_j, ff_bound=index.ff_bound)
+    p, c = query_pos.query_batch_pos(pt["table"], pt["n"], enc_j, lens_j,
+                                     k=k, A=pt["A"])
     _ = np.asarray(p[:, -1]).sum()  # force full execution + transfer wait
     log(f"[bench] first call (transfer+compile) {time.perf_counter()-t0:.1f}s")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        p, c = query_mega.query_batch_mega(mt, enc_j, lens_j, ff_bound=index.ff_bound)
+        p, c = query_pos.query_batch_pos(pt["table"], pt["n"], enc_j, lens_j,
+                                         k=k, A=pt["A"])
         _ = int(np.asarray(p[:, -1]).sum())
         times.append(time.perf_counter() - t0)
     best = min(times)

@@ -264,15 +264,32 @@ def query_pipeline(index_prefix: str, pattern_file: str,
         reads.append(rec.seq.upper())
     logger.info("querying %d reads against r=%d index", len(reads), index.r)
 
-    use_mega = (index.ff_bound >= 2 and cfg.engine in ("auto", "mega"))
-    use_fused = (not use_mega and index.ff_bound >= 1
+    from colbwt_tpu.ops import query_pos
+
+    # engine ladder (fastest first): positional automaton (k chars/gather,
+    # needs (sigma+1)**k * n * 8 B of HBM) > mega (1 gather/char, needs a
+    # k=2 run-split index) > fused > compact xla.  The pos tables cost
+    # O(A^k n) device work to build, so under "auto" they only pay off for
+    # real workloads — tiny queries skip straight to the table-free engines
+    # (engine="pos" forces them regardless).
+    total_chars = sum(len(rd) for rd in reads)
+    pos_k = (query_pos.choose_k(index, cfg.pos_hbm_budget)
+             if (not index.wide and cfg.engine in ("auto", "pos")) else 0)
+    use_pos = pos_k >= 1 and (cfg.engine == "pos" or total_chars >= 1_000_000)
+    use_mega = (not use_pos and index.ff_bound >= 2
+                and cfg.engine in ("auto", "mega"))
+    use_fused = (not use_pos and not use_mega and index.ff_bound >= 1
                  and cfg.engine in ("auto", "fused"))
+    pt = query_pos.build_pos_tables(index, pos_k) if use_pos else None
     mt = query_mega.build_mega_table(index) if use_mega else None
     ft = None
     if use_fused:
         from colbwt_tpu.ops import query_fused
 
         ft = query_fused.build_fused_tables(index)
+    logger.info("engine: %s",
+                f"pos(k={pos_k})" if use_pos else
+                "mega" if use_mega else "fused" if use_fused else "xla")
 
     def dispatch_batch(batch: list[bytes], padded: int):
         """Enqueue one device batch without blocking (JAX async dispatch);
@@ -282,9 +299,14 @@ def query_pipeline(index_prefix: str, pattern_file: str,
 
         from colbwt_tpu.utils.xfer import device_put_chunked
 
+        if use_pos:
+            padded = -(-padded // pos_k) * pos_k  # key folding needs M % k == 0
         enc, lens = index.encode_patterns(batch, padded)
         ej, lj = device_put_chunked(enc), jnp.asarray(lens)
-        if use_mega:
+        if use_pos:
+            p, c = query_pos.query_batch_pos(pt["table"], pt["n"], ej, lj,
+                                             k=pos_k, A=pt["A"])
+        elif use_mega:
             p, c = query_mega.query_batch_mega(mt, ej, lj,
                                                ff_bound=index.ff_bound)
         elif use_fused:
@@ -307,7 +329,7 @@ def query_pipeline(index_prefix: str, pattern_file: str,
     long_idxs: list[int] = []
     for i, rd in enumerate(reads):
         m = max(1, len(rd))
-        if use_mega and m > cfg.long_read_len:
+        if (use_pos or use_mega) and m > cfg.long_read_len:
             long_idxs.append(i)
             continue
         padded = 1 << (m - 1).bit_length()
@@ -323,14 +345,21 @@ def query_pipeline(index_prefix: str, pattern_file: str,
     for chunk, padded, (p_dev, c_dev, lens) in pending:
         p = np.asarray(p_dev)
         c = np.asarray(c_dev)
+        width = p.shape[1]  # may exceed `padded` (pos engine pads to k-multiple)
         for j, i in enumerate(chunk):
             m = int(lens[j])
-            pmls[i] = p[j, padded - m:]
-            cids[i] = c[j, padded - m:]
+            pmls[i] = p[j, width - m:]
+            cids[i] = c[j, width - m:]
     for off in range(0, len(long_idxs), max(1, cfg.batch_size // 16)):
         chunk = long_idxs[off:off + max(1, cfg.batch_size // 16)]
-        p, c = query_mega.query_long_reads(
-            index, [reads[i] for i in chunk], chunk=cfg.long_read_chunk, mt=mt)
+        if use_pos:
+            p, c = query_pos.query_long_reads(
+                index, [reads[i] for i in chunk], chunk=cfg.long_read_chunk,
+                pt=pt)
+        else:
+            p, c = query_mega.query_long_reads(
+                index, [reads[i] for i in chunk], chunk=cfg.long_read_chunk,
+                mt=mt)
         for j, i in enumerate(chunk):
             pmls[i] = p[j]
             cids[i] = c[j]

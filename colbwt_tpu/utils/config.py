@@ -51,9 +51,12 @@ class ColBwtConfig:
     # --- query engine knobs (new; no reference counterpart) ---
     batch_size: int = 8192        # reads advanced in lockstep per device
     max_read_len: int = 256       # padded read length bucket
-    engine: str = "auto"          # "mega" | "fused" | "xla" | "auto"
+    engine: str = "auto"          # "pos" | "mega" | "fused" | "xla" | "auto"
     ff_bound: int = 2             # max LF fast-forward span after run splitting
                                   # (2 enables the 1-gather/step mega engine)
+    pos_hbm_budget: int = 10 << 30  # HBM byte budget for the positional-
+                                  # automaton tables ((sigma+1)**k * n * 8 B);
+                                  # picks the largest k in {1,2,3} that fits
     long_read_len: int = 1024     # reads longer than this stream in chunks
     long_read_chunk: int = 2048
 

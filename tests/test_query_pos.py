@@ -1,0 +1,65 @@
+"""Positional-automaton engine: exact equality vs oracle for every k."""
+
+import numpy as np
+import pytest
+
+from colbwt_tpu.models.index import ColPmlIndex
+from colbwt_tpu.ops import oracle as O
+from colbwt_tpu.ops import query_pos
+from tests.conftest import random_docs
+from tests.test_query_xla import build_index, make_reads
+
+
+@pytest.mark.parametrize("mode", ["tunnels", "all"])
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_pos_matches_oracle(rng, mode, k):
+    base = bytes(rng.choice(list(b"ACGT"), 250).astype("uint8"))
+    docs = random_docs(rng, 3, mutate_from=base)
+    tbl, index = build_index(docs, mode=mode)  # unsplit: pos engine needs no ff
+    reads = make_reads(rng, docs, 24) + [b"NNNNN", b"A", b"XYACGT"]
+    pmls, cids = query_pos.query_batch(index, reads, k=k)
+    for read, pml, cid in zip(reads, pmls, cids):
+        ep, ec = O.query_pml_oracle(tbl, read)
+        np.testing.assert_array_equal(pml, ep, err_msg=f"PML {read!r} k={k}")
+        np.testing.assert_array_equal(cid, ec, err_msg=f"CID {read!r} k={k}")
+
+
+def test_pos_long_reads_chunked_equals_batch(rng):
+    base = bytes(rng.choice(list(b"ACGT"), 400).astype("uint8"))
+    docs = random_docs(rng, 3, mutate_from=base)
+    tbl, index = build_index(docs)
+    reads = make_reads(rng, docs, 6, lo=90, hi=230)
+    pt = query_pos.build_pos_tables(index, k=2)
+    p1, c1 = query_pos.query_batch(index, reads, pt=pt)
+    p2, c2 = query_pos.query_long_reads(index, reads, chunk=32, pt=pt)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(c1, c2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pos_works_on_split_index_too(rng):
+    """Run splitting is unnecessary for the pos engine but must not change
+    results (positions are invariant under run splitting)."""
+    docs = random_docs(rng, 2, lo=60, hi=120)
+    tbl, _ = build_index(docs)
+    split = ColPmlIndex.build(tbl, ff_bound=2)
+    unsplit = ColPmlIndex.from_table(tbl)
+    reads = make_reads(rng, docs, 12)
+    p1, c1 = query_pos.query_batch(unsplit, reads, k=2)
+    p2, c2 = query_pos.query_batch(split, reads, k=2)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(c1, c2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_choose_k_budgets(rng):
+    docs = random_docs(rng, 2, lo=40, hi=80)
+    _, index = build_index(docs)
+    A = index.sigma + 1
+    # exactly enough for k=2, not k=3
+    budget = (A ** 2) * index.n * 8
+    assert query_pos.choose_k(index, budget) == 2
+    assert query_pos.choose_k(index, (A ** 3) * index.n * 8) == 3
+    assert query_pos.choose_k(index, 8) == 0
