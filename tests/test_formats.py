@@ -159,3 +159,87 @@ def test_col_pml_file_roundtrip_and_query(tmp_path, rng):
     p2, c2 = O.query_pml_oracle(loaded, pattern)
     np.testing.assert_array_equal(p1, p2)
     np.testing.assert_array_equal(c1, c2)
+
+
+# ---------------------------------------------------------------------------
+# sd_vector (Elias-Fano) codec + .FL_table artifact
+# ---------------------------------------------------------------------------
+
+def test_sdsl_int_vector_roundtrip(rng):
+    for width in (1, 3, 5, 8, 17, 40, 64):
+        hi = (1 << width) - 1 if width < 64 else (1 << 63)
+        vals = rng.integers(0, hi, 37, dtype=np.uint64) % np.uint64(max(hi, 1))
+        buf = F.encode_sdsl_int_vector(vals, width)
+        # header 9 bytes + whole LE words
+        assert len(buf) == 9 + ((37 * width + 63) // 64) * 8
+        out, w, off = F.decode_sdsl_int_vector(buf)
+        assert w == width and off == len(buf)
+        np.testing.assert_array_equal(out, vals)
+
+
+def test_sd_vector_roundtrip(rng):
+    for size, m in ((1, 0), (10, 1), (64, 64), (1000, 37), (1 << 20, 4096)):
+        positions = np.sort(rng.choice(size, m, replace=False)).astype(np.uint64)
+        buf = F.encode_sd_vector(positions, size)
+        pos, sz, off = F.decode_sd_vector(buf)
+        assert sz == size and off == len(buf)
+        np.testing.assert_array_equal(pos, positions.astype(np.int64))
+
+
+def test_sd_vector_wl_matches_sdsl_formula():
+    """Lock the header: wl = (hi(n)+1) - (hi(m)+1 [-1 if equal]) — the
+    sd_vector_builder parameter choice (see formats.py module comment)."""
+    buf = F.encode_sd_vector(np.array([3, 17, 900], dtype=np.uint64), 1000)
+    # n=1000: logn=10; m=3: logm=2; wl=8
+    assert buf[8] == 8
+    buf = F.encode_sd_vector(np.arange(900, dtype=np.uint64), 1000)
+    # m=900: logm=10 == logn -> 9; wl=1
+    assert buf[8] == 1
+
+
+def test_sd_vector_reader_skips_trailing_select_blocks():
+    positions = np.array([2, 5, 11], dtype=np.uint64)
+    core = F.encode_sd_vector(positions, 32)
+    # fabricate two empty select_support_mcl frames (arg_cnt = 0)
+    raw = core + np.zeros(2, dtype="<u8").tobytes()
+    pos, size, off = F.decode_sd_vector(raw)
+    np.testing.assert_array_equal(pos, positions.astype(np.int64))
+    off = F.skip_select_support_mcl(raw, off)
+    off = F.skip_select_support_mcl(raw, off)
+    assert off == len(raw)
+
+
+def test_fl_table_file_roundtrip(tmp_path, rng):
+    """.FL_table artifact (FL_table::serialize, include/ds/FL_table.hpp:
+    303-333): n + r + EF L_heads + 12-byte packed rows; the loaded table
+    forward-steps identically."""
+    from colbwt_tpu.ops import oracle as O
+    from tests.conftest import random_docs
+
+    docs = random_docs(rng, 3, lo=60, hi=140)
+    text, ranks, _ = O.concat_collection(docs)
+    sa = O.suffix_array(ranks)
+    heads, lens = O.rle(O.bwt_from_sa(text, sa))
+    fl = O.build_fl_table(heads, lens)
+    path = tmp_path / "x.FL_table"
+    F.write_fl_table_file(path, n=fl.n, char=fl.char, idx=fl.idx,
+                          dest_interval=fl.dest_interval,
+                          dest_offset=fl.dest_offset, l_heads=fl.l_heads)
+    d = F.read_fl_table_file(path)
+    assert d["n"] == fl.n and d["r"] == fl.r
+    np.testing.assert_array_equal(d["l_heads"], fl.l_heads)
+    loaded = O.FLTableArrays(
+        char=d["char"], idx=d["idx"],
+        length=np.diff(np.r_[d["idx"], d["n"]]),
+        dest_interval=d["dest_interval"], dest_offset=d["dest_offset"],
+        l_heads=d["l_heads"], n=d["n"], r=d["r"])
+    assert O.decompress(loaded) == O.decompress(fl)
+
+
+def test_col_runs_sparse_file(tmp_path):
+    """.col_runs.sv sparse variant (include/col_split.hpp:377-382)."""
+    bits = np.array([0, 7, 8, 63, 64, 100], dtype=np.uint64)
+    F.write_sdsl_sd_vector(tmp_path / "x.col_runs.sv", bits, 128)
+    pos, size = F.read_sdsl_sd_vector(tmp_path / "x.col_runs.sv")
+    assert size == 128
+    np.testing.assert_array_equal(pos, bits.astype(np.int64))
