@@ -84,3 +84,31 @@ def test_sharded_mega_matches_local(setup, dp, ip):
         np.testing.assert_array_equal(a, b)
     for a, b in zip(c[:len(reads)], ref_c):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("dp,ip", [(4, 2), (1, 8), (2, 2), (8, 1)])
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_sharded_pos_matches_local(setup, dp, ip, k):
+    from colbwt_tpu.ops import query_pos
+    from colbwt_tpu.parallel.query_sharded_pos import query_batch_sharded_pos
+
+    index, reads, _, _ = setup
+    reads = reads[:17]  # ragged vs dp
+    ref_p, ref_c = query_pos.query_batch(index, reads, k=k)
+    mesh = make_mesh(dp, ip)
+    p, c = query_batch_sharded_pos(index, reads, mesh=mesh, k=k)
+    for a, b in zip(p[:len(reads)], ref_p):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(c[:len(reads)], ref_c):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_pos_choose_k_relaxes_with_ip(setup):
+    from colbwt_tpu.parallel.query_sharded_pos import choose_k_sharded
+
+    index, _, _, _ = setup
+    A = index.sigma + 1
+    one_shard_k2 = (A ** 2) * index.n * 8
+    # a budget that fits k=2 only when halved per shard
+    assert choose_k_sharded(index, 1, one_shard_k2 // 2 + A * index.n * 8) == 1
+    assert choose_k_sharded(index, 2, one_shard_k2 // 2 + A * index.n * 8) >= 2
