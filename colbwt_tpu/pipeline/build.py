@@ -208,8 +208,23 @@ def stage_index(prefix: str, cfg: ColBwtConfig, logger):
             char=tbl.char, idx=tbl.idx,
             dest_interval=tbl.dest_interval, dest_offset=tbl.dest_offset,
             col_id=tbl.col_id, threshold=tbl.threshold)
-        with status("run splitting", logger):
-            index = ColPmlIndex.build(tbl, ff_bound=cfg.ff_bound)
+        # Run splitting (the movi-split fast-forward bound) only serves the
+        # mega/fused engines; the positional-automaton engine needs no ff
+        # bound, so skip the O(rounds * r log r) splitting when pos tables
+        # are viable for this index.  Wide tables always split (run-length
+        # cap for the int32-limb layout).
+        wide = tbl.n > 2**31 - 1
+        sigma = int(np.unique(O.normalize_heads(tbl.char)).size)
+        pos_viable = (not wide and (sigma + 1) * tbl.n <= 2**31 - 1
+                      and (sigma + 1) * tbl.n * 8 <= cfg.pos_hbm_budget)
+        split = (wide or cfg.run_split == "always"
+                 or (cfg.run_split == "auto" and not pos_viable))
+        if split:
+            with status("run splitting", logger):
+                index = ColPmlIndex.build(tbl, ff_bound=cfg.ff_bound)
+        else:
+            logger.info("[index] pos engine viable: skipping run splitting")
+            index = ColPmlIndex.from_table(tbl)
         index.save(out.with_suffix(""))
         logger.info("[index] r=%d (bwt_r=%d) ff_bound=%d bytes=%d",
                     index.r, index.bwt_r, index.ff_bound, index.nbytes())

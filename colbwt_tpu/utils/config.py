@@ -57,6 +57,11 @@ class ColBwtConfig:
     pos_hbm_budget: int = 10 << 30  # HBM byte budget for the positional-
                                   # automaton tables ((sigma+1)**k * n * 8 B);
                                   # picks the largest k in {1,2,3} that fits
+    run_split: str = "auto"       # "auto" | "always" | "never": run splitting
+                                  # only serves the mega/fused engines; "auto"
+                                  # skips it when the positional-automaton
+                                  # engine is viable (it needs no ff bound),
+                                  # cutting minutes off multi-Mbp builds
     long_read_len: int = 1024     # reads longer than this stream in chunks
     long_read_chunk: int = 2048
 

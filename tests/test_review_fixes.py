@@ -51,8 +51,14 @@ def test_build_pipeline_self_overlap(tmp_path, rng):
         write_fasta(tmp_path / f"s{i}.fa", [FastaRecord(f"s{i}", d)])
     index = build_pipeline([str(tmp_path / "s0.fa"), str(tmp_path / "s1.fa")],
                            str(tmp_path / "idx"),
-                           ColBwtConfig(min_mum=30, split_rate=5))
+                           ColBwtConfig(min_mum=30, split_rate=5,
+                                        run_split="always"))
     assert index.ff_bound >= 2
+    # run_split="auto" skips the splitter when pos tables are viable
+    index2 = build_pipeline([str(tmp_path / "s0.fa"), str(tmp_path / "s1.fa")],
+                            str(tmp_path / "idx2"),
+                            ColBwtConfig(min_mum=30, split_rate=5))
+    assert index2.ff_bound == 0
 
 
 def test_id_bits_16_roundtrip(tmp_path, rng):
