@@ -126,16 +126,17 @@ def bench_tpu(index, reads) -> float:
     from colbwt_tpu.ops import query_pos
 
     log(f"[bench] devices: {jax.devices()}")
-    k = query_pos.choose_k(index)
+    k = query_pos.choose_k(index, alphabet=b"ACGT")
     t0 = time.perf_counter()
-    pt = query_pos.build_pos_tables(index, k)
+    pt = query_pos.build_pos_tables(index, k, alphabet=b"ACGT")
     _ = int(np.asarray(pt["table"][:2, 0]).sum())  # materialize (on-device build)
-    log(f"[bench] pos tables k={k} built in {time.perf_counter()-t0:.1f}s "
-        f"({pt['table'].nbytes / 1e6:.0f} MB)")
+    log(f"[bench] pos tables k={k} (ACGT keys) built in "
+        f"{time.perf_counter()-t0:.1f}s ({pt['table'].nbytes / 1e6:.0f} MB)")
     from colbwt_tpu.utils.xfer import device_put_chunked
 
     M = -(-READ_LEN // k) * k  # key folding needs a multiple of k
-    enc, lens = index.encode_patterns(reads, max_len=M)
+    enc, lens, bad = query_pos._encode_digits(index, pt, reads, M)
+    assert not bad.any()  # bench reads are pure ACGT
     enc_j = device_put_chunked(enc)
     lens_j = jnp.asarray(lens)
 

@@ -167,6 +167,7 @@ def _sliding_min(x: jnp.ndarray, w: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("num_docs", "min_mum"))
+@functools.partial(jax.jit, static_argnames=("num_docs", "min_mum"))
 def multi_mum_scan(lcp: jnp.ndarray, sa_docs: jnp.ndarray,
                    prev_rank: jnp.ndarray, num_docs: int, min_mum: int
                    ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -9,29 +9,34 @@ fast-forward at all: LF(pos) = F_start(run(pos)) + (pos - idx[run(pos)]).
 So tabulate the step function S_c : pos -> pos' once per char, and — because
 position-keyed step functions COMPOSE (unlike the run-keyed mega rows, whose
 next gather index depends on the evolving offset) — tabulate S_{c_k} ∘ … ∘
-S_{c_1} for every k-tuple of chars.  One (A^k · n, 2)-int32 table row then
-advances a read k characters with ONE gather: TPU gathers cost ~11-16 ns per
-*index*, independent of table size (measured flat from 16 kB to 6.9 GB,
+S_{c_1} for every k-tuple of chars: one (A^k · n, 2)-int32 table row then
+advances a read k characters with ONE gather.  TPU gathers cost ~11-16 ns
+per *index*, independent of table size (measured flat from 16 kB to 6.9 GB,
 scripts/probe_bigtable_gather.py), so steps-per-read drops k-fold.
 
-Row layout (A = sigma+1 dense chars, key = ((c_1·A + c_2)·A + …)·A + c_k in
-processing order, i.e. c_1 is the read's rightmost unprocessed char):
+Key alphabets.  By default keys range over all A = sigma+1 dense chars.
+Passing `alphabet` (e.g. b"ACGT") restricts keys to those |Q| bytes — |Q|^k
+keys instead of A^k buys one more composition level at the same memory
+(4^4 = 256 < 6^3 = 216): reads made purely of Q bytes take k=4 steps per
+gather; the rare read containing any other byte falls back to the general
+k=1 table (kept alongside, A·n·8 bytes).
 
-  word0  final position after all k steps
-  word1  bits 8j..8j+7   : col_id emitted at sub-step j (CID is sampled
-                           BEFORE the step, include/col_bwt.hpp:513)
-         bit  24+j       : match flag of sub-step j (drives the PML
-                           extend-or-reset recurrence)
+Row layout ((A_key^k · n, 2) int32, key = ((c_1·A + c_2)·A + …)·A + c_k in
+processing order — c_1 is the read's rightmost unprocessed char):
 
-so k <= 3 fits one int32 of metadata.  Memory: A^k · n · 8 bytes — for a
-4 Mbp pangenome at k=3 (A=6) that is ~7 GB of HBM; pick k by budget
-(choose_k).  The per-read cost is ceil(m/k) gathers instead of m.
+  word0  bits 0..27 : final position after all k steps (requires n < 2**28)
+         bit  28+j  : match flag of sub-step j (drives the PML
+                      extend-or-reset recurrence); j < k <= 4
+  word1  bits 8j..  : col_id emitted at sub-step j (CID is sampled BEFORE
+                      the step, include/col_bwt.hpp:513)
 
 PML values are packed (pml << 8 | cid) into the scan outputs; valid for
 reads shorter than 2**23 bases (guarded).
 
 Tables are built ON DEVICE from the small per-run index arrays (r-sized),
-avoiding any host->device transfer of the O(A^k n) tables themselves.
+avoiding any host->device transfer of the O(A^k n) tables themselves, and
+composed directly from T1 with a donated fori_loop buffer (lax.map's
+stacked accumulator double-buffers, which OOMs at multi-GB sizes).
 """
 
 from __future__ import annotations
@@ -45,15 +50,22 @@ import numpy as np
 from colbwt_tpu.models.index import ColPmlIndex
 
 INT32_MAX = 2**31 - 1
+POS_BITS = 28
+POS_MASK = (1 << POS_BITS) - 1
+MAX_POS_N = 1 << POS_BITS
 _PML_PACK_LIMIT = 1 << 23
+MAX_K = 4  # 4 cid bytes fill word1; 4 match bits fit above a 28-bit position
 
 
-def choose_k(index: ColPmlIndex, hbm_budget_bytes: int = 10 << 30) -> int:
-    """Largest k in {1,2,3} whose table fits the HBM budget and whose gather
-    indices fit int32."""
-    A = index.sigma + 1
+def choose_k(index: ColPmlIndex, hbm_budget_bytes: int = 10 << 30,
+             alphabet: bytes | None = None) -> int:
+    """Largest k <= 4 whose table fits the HBM budget and whose gather
+    indices fit int32 (restricted alphabets reach higher k: |Q|^k keys)."""
+    if index.n > MAX_POS_N:
+        return 0
+    A = len(alphabet) if alphabet is not None else index.sigma + 1
     best = 0
-    for k in (1, 2, 3):
+    for k in range(1, MAX_K + 1):
         keys = A ** k
         if keys * index.n > INT32_MAX:
             break
@@ -66,7 +78,7 @@ def choose_k(index: ColPmlIndex, hbm_budget_bytes: int = 10 << 30) -> int:
 @functools.partial(jax.jit, static_argnames=("n", "A"))
 def _build_t1(char, idx, length, lf_pos0, threshold, pred_jump, succ_jump,
               col_id, n: int, A: int):
-    """T1[c*n + pos] = (new_pos, col_id | match<<24-bit layout) for one step."""
+    """T1[c*n + pos] = [new_pos | match<<28, col_id] for one step."""
     r = char.shape[0]
     pos = jax.lax.iota(jnp.int32, n)
     run = jnp.searchsorted(idx, pos, side="right").astype(jnp.int32) - 1
@@ -94,62 +106,77 @@ def _build_t1(char, idx, length, lf_pos0, threshold, pred_jump, succ_jump,
         repos = jnp.where(take_pred, pred_pos,
                           jnp.where(take_succ, succ_pos, lf_match))
         new_pos = jnp.where(match, lf_match, repos)
-        meta = run_cid | (match.astype(jnp.int32) << 24)
-        return jnp.stack([new_pos, meta], axis=1)
+        w0 = new_pos | (match.astype(jnp.int32) << POS_BITS)
+        return jnp.stack([w0, run_cid], axis=1)
 
     blocks = jax.lax.map(per_char, jnp.arange(A, dtype=jnp.int32))
     return blocks.reshape(A * n, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "A", "k"),
+@functools.partial(jax.jit, static_argnames=("n", "A_key", "k"),
                    donate_argnums=(0,))
-def _build_tk(buf, t1, n: int, A: int, k: int):
+def _build_tk(buf, t1, digit_chars, n: int, A_key: int, k: int):
     """Fill T_k composed directly from T1 (k-1 chained gathers per element):
     no intermediate T_j is ever materialized, and the donated output buffer
-    is updated in place by the fori_loop (lax.map's stacked-ys accumulator
-    double-buffers, which OOMs for multi-GB tables — measured on v5e).
+    is updated in place by the fori_loop.
 
-    Peak memory: T_k + T1 + one (n, 2) block.  Sub-step j's cid lands at
-    bits 8j, its match bit at 24+j."""
+    digit_chars maps key digits (base A_key) to dense char ids — identity
+    for the general alphabet, the Q-byte ids for a restricted one.  Peak
+    memory: T_k + T1 + one (n, 2) block."""
 
     def body(key, buf):
         digits = []  # big-endian: first processed char is the high digit
         rem = key
         for j in range(k):
-            p = A ** (k - 1 - j)
-            digits.append(rem // p)
+            p = A_key ** (k - 1 - j)
+            digits.append(digit_chars[rem // p])
             rem = rem % p
-        blk = jax.lax.dynamic_slice(t1, (digits[0] * n, 0), (n, 2))
-        pos = blk[:, 0]
-        meta = blk[:, 1]
+        blk = jnp.take(t1, digits[0] * n + jax.lax.iota(jnp.int32, n),
+                       axis=0, mode="clip")
+        pos = blk[:, 0] & POS_MASK
+        w0_acc = blk[:, 0]  # match_0 already at bit 28
+        w1_acc = blk[:, 1]
         for j in range(1, k):
             nxt = jnp.take(t1, digits[j] * n + pos, axis=0, mode="clip")
-            pos = nxt[:, 0]
-            meta = meta | ((nxt[:, 1] & 0xFF) << (8 * j)) \
-                | (((nxt[:, 1] >> 24) & 1) << (24 + j))
-        block = jnp.stack([pos, meta], axis=1)
+            pos = nxt[:, 0] & POS_MASK
+            w0_acc = (w0_acc & ~POS_MASK) \
+                | (((nxt[:, 0] >> POS_BITS) & 1) << (POS_BITS + j)) | pos
+            w1_acc = w1_acc | ((nxt[:, 1] & 0xFF) << (8 * j))
+        block = jnp.stack([w0_acc, w1_acc], axis=1)
         return jax.lax.dynamic_update_slice(buf, block, (key * n, 0))
 
-    return jax.lax.fori_loop(0, A ** k, body, buf)
+    return jax.lax.fori_loop(0, A_key ** k, body, buf)
 
 
 def build_pos_tables(index: ColPmlIndex, k: int | None = None,
-                     hbm_budget_bytes: int = 10 << 30) -> dict:
-    if index.wide:
-        raise ValueError("positional tables need n < 2**31 "
-                         "(use ops.query_mega_wide for wide indexes)")
+                     hbm_budget_bytes: int = 10 << 30,
+                     alphabet: bytes | None = None) -> dict:
+    """Build the k-step tables (on device).  With `alphabet`, keys range
+    over those bytes only and the general T1 is kept for fallback routing of
+    reads containing other bytes."""
+    if index.wide or index.n > MAX_POS_N:
+        raise ValueError("positional tables need n < 2**28 "
+                         "(use ops.query_mega / query_mega_wide beyond)")
     if k is None:
-        k = choose_k(index, hbm_budget_bytes)
+        k = choose_k(index, hbm_budget_bytes, alphabet)
         if k == 0:
             raise ValueError("no k fits the HBM budget; use ops.query_mega")
-    if not 1 <= k <= 3:
-        raise ValueError("k must be in {1, 2, 3} (metadata packs 8 bits of "
-                         "cid + 1 match bit per sub-step into one int32)")
-    A = index.sigma + 1
+    if not 1 <= k <= MAX_K:
+        raise ValueError(f"k must be in [1, {MAX_K}]")
+    A_full = index.sigma + 1
     n, r = index.n, index.r
-    if (A ** k) * n > INT32_MAX:
-        raise ValueError(f"A**k * n = {(A ** k) * n} overflows int32 gather "
-                         f"indices (A={A}, k={k}, n={n})")
+
+    if alphabet is not None:
+        digit_dense = index.char_map[np.frombuffer(alphabet, dtype=np.uint8)]
+        if np.unique(digit_dense).size != digit_dense.size:
+            raise ValueError("alphabet bytes collide in the dense char map")
+        A_key = len(alphabet)
+    else:
+        digit_dense = np.arange(A_full, dtype=np.int32)
+        A_key = A_full
+    if (A_key ** k) * n > INT32_MAX:
+        raise ValueError(f"A_key**k * n = {(A_key ** k) * n} overflows int32 "
+                         f"gather indices (A_key={A_key}, k={k}, n={n})")
 
     idx = jnp.asarray(index.idx.astype(np.int32))
     length = jnp.asarray(index.length.astype(np.int32))
@@ -161,18 +188,32 @@ def build_pos_tables(index: ColPmlIndex, k: int | None = None,
         jnp.asarray(index.char), idx, length, lf_pos0,
         jnp.asarray(index.threshold.astype(np.int32)),
         jnp.asarray(index.pred_jump), jnp.asarray(index.succ_jump),
-        jnp.asarray(index.col_id), n=n, A=A)
-    if k == 1:
+        jnp.asarray(index.col_id), n=n, A=A_full)
+    if k == 1 and alphabet is None:
         table = t1
     else:
-        buf = jnp.zeros((A ** k * n, 2), dtype=jnp.int32)
-        table = _build_tk(buf, t1, n=n, A=A, k=k)
-        del buf, t1
+        buf = jnp.zeros((A_key ** k * n, 2), dtype=jnp.int32)
+        table = _build_tk(buf, t1, jnp.asarray(digit_dense.astype(np.int32)),
+                          n=n, A_key=A_key, k=k)
+        del buf
+
+    # byte -> key digit (or -1: read needs the general fallback)
+    if alphabet is not None:
+        digit_of_dense = np.full(A_full + 1, -1, dtype=np.int32)
+        digit_of_dense[digit_dense] = np.arange(A_key, dtype=np.int32)
+    else:
+        digit_of_dense = np.arange(A_full + 1, dtype=np.int32)
+        digit_of_dense[A_full] = A_full  # never produced by encode_patterns
+
     return {
         "table": table,
+        "t1": t1 if alphabet is not None else None,  # fallback path
         "n": jnp.int32(n),
         "k": k,
-        "A": A,
+        "A": A_key,
+        "A_full": A_full,
+        "digit_of_dense": digit_of_dense,
+        "alphabet": alphabet,
     }
 
 
@@ -190,15 +231,15 @@ def _fold_keys(cols: jnp.ndarray, k: int, A: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("k", "A", "masked", "unroll"))
 def query_chunk_pos(pt_table, n, patterns, lengths, pos0, mlen0, step_offset,
                     k: int, A: int, masked: bool = False, unroll: int = 4):
-    """One scan over a (B, M) chunk (M multiple of k).  Returns
-    ((pml, cid), (pos, mlen)).
+    """One scan over a (B, M) chunk of key DIGITS (M multiple of k).
+    Returns ((pml, cid), (pos, mlen)).
 
     State past a lane's end is deliberately NOT masked: reads are
     right-aligned, so every step after a lane's last real character consumes
-    left-padding — and all later chunks for that lane are padding too, so the
-    corrupted state can never reach a kept output.  masked=True only zeroes
-    the pad outputs (cosmetic, for the chunked long-read path's reuse of
-    output buffers)."""
+    left-padding — and all later chunks for that lane are padding too, so
+    the corrupted state can never reach a kept output.  masked=True only
+    zeroes the pad outputs (cosmetic, for the chunked long-read path's
+    reuse of output buffers)."""
     B, M = patterns.shape
     cols = patterns[:, ::-1].T.astype(jnp.int32)
     keys = _fold_keys(cols, k, A)
@@ -208,18 +249,19 @@ def query_chunk_pos(pt_table, n, patterns, lengths, pos0, mlen0, step_offset,
         pos, mlen = state
         key_col, i = xs
         rows = jnp.take(pt_table, key_col * n + pos, axis=0, mode="clip")
-        meta = rows[:, 1]
+        w0 = rows[:, 0]
+        w1 = rows[:, 1]
         outs = []
         ln = mlen
         for j in range(k):
-            m = (meta >> (24 + j)) & 1
+            m = (w0 >> (POS_BITS + j)) & 1
             ln = (ln + 1) * m  # match ? len+1 : 0
-            cid = (meta >> (8 * j)) & 0xFF
+            cid = (w1 >> (8 * j)) & 0xFF
             packed = (ln << 8) | cid
             if masked:
                 packed = jnp.where(i + j < lengths, packed, 0)
             outs.append(packed)
-        return (rows[:, 0], ln), jnp.stack(outs)
+        return (w0 & POS_MASK, ln), jnp.stack(outs)
 
     (pos, mlen), ys = jax.lax.scan(body, (pos0, mlen0), (keys, steps),
                                    unroll=unroll)
@@ -237,37 +279,65 @@ def query_batch_pos(pt_table, n, patterns, lengths, k: int, A: int):
     return pml, cid
 
 
+def _encode_digits(index: ColPmlIndex, pt: dict, patterns: list[bytes],
+                   M: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Encode patterns to key digits; returns (digits, lens, fallback_mask)
+    where fallback_mask marks reads containing non-alphabet bytes."""
+    enc, lens = index.encode_patterns(patterns, max_len=M)
+    dig = pt["digit_of_dense"][enc]
+    B = enc.shape[0]
+    cols = np.arange(M) >= (M - lens[:, None])
+    bad = ((dig < 0) & cols).any(axis=1)
+    dig = np.where(dig < 0, 0, dig)  # pad digit; bad lanes rerouted anyway
+    return dig.astype(np.int32), lens, bad
+
+
 def query_batch(index: ColPmlIndex, patterns: list[bytes],
                 max_len: int | None = None, pt: dict | None = None,
-                k: int | None = None
+                k: int | None = None, alphabet: bytes | None = None
                 ) -> tuple[list[np.ndarray], list[np.ndarray]]:
-    """Batched PML+CID queries through the positional-automaton tables."""
+    """Batched PML+CID queries through the positional-automaton tables.
+    With a restricted-alphabet table, reads containing other bytes are
+    rerouted through the general k=1 table (exact, just slower)."""
     if pt is None:
-        pt = build_pos_tables(index, k)
+        pt = build_pos_tables(index, k, alphabet=alphabet)
     k = pt["k"]
     m_raw = max_len if max_len is not None else max(
         (len(p) for p in patterns), default=1)
     M = -(-m_raw // k) * k  # pad to a multiple of k (pads process last)
     if M >= _PML_PACK_LIMIT:
         raise ValueError(f"read length {M} overflows the pml<<8 packing")
-    enc, lens = index.encode_patterns(patterns, max_len=M)
-    pml, cid = query_batch_pos(pt["table"], pt["n"], jnp.asarray(enc),
+    dig, lens, bad = _encode_digits(index, pt, patterns, M)
+    pml, cid = query_batch_pos(pt["table"], pt["n"], jnp.asarray(dig),
                                jnp.asarray(lens), k=k, A=pt["A"])
     pml = np.asarray(pml)
     cid = np.asarray(cid)
-    return ([pml[b, M - int(lens[b]):] for b in range(len(patterns))],
-            [cid[b, M - int(lens[b]):] for b in range(len(patterns))])
+    out_p = [pml[b, M - int(lens[b]):] for b in range(len(patterns))]
+    out_c = [cid[b, M - int(lens[b]):] for b in range(len(patterns))]
+    if bad.any():
+        if pt["t1"] is None:
+            raise AssertionError("general table has no unmappable bytes")
+        idxs = np.flatnonzero(bad)
+        enc, blens = index.encode_patterns([patterns[i] for i in idxs], M)
+        p2, c2 = query_batch_pos(pt["t1"], pt["n"], jnp.asarray(enc),
+                                 jnp.asarray(blens), k=1, A=pt["A_full"])
+        p2 = np.asarray(p2)
+        c2 = np.asarray(c2)
+        for j, i in enumerate(idxs):
+            out_p[i] = p2[j, M - int(blens[j]):]
+            out_c[i] = c2[j, M - int(blens[j]):]
+    return out_p, out_c
 
 
 def query_long_reads(index: ColPmlIndex, patterns: list[bytes],
                      chunk: int = 2048, pt: dict | None = None,
-                     k: int | None = None
+                     k: int | None = None, alphabet: bytes | None = None
                      ) -> tuple[list[np.ndarray], list[np.ndarray]]:
     """Arbitrary-length reads via chunked scans with carried (pos, mlen)
     state — the -l mode (src/pml_query.cpp:126-128) on the positional
     engine.  Exactly equivalent to one giant scan (differential-tested)."""
     if pt is None:
-        pt = build_pos_tables(index, k)
+        pt = build_pos_tables(index, k, alphabet=alphabet)
     k = pt["k"]
     A = pt["A"]
     chunk = -(-chunk // k) * k
@@ -277,8 +347,17 @@ def query_long_reads(index: ColPmlIndex, patterns: list[bytes],
     M = n_chunks * chunk
     if M >= _PML_PACK_LIMIT:
         raise ValueError(f"padded length {M} overflows the pml<<8 packing")
-    enc, lens = index.encode_patterns(patterns, max_len=M)
-    enc_j = jnp.asarray(enc)
+    dig, lens, bad = _encode_digits(index, pt, patterns, M)
+    if bad.any():
+        # reroute whole reads through the general table (k=1) chunks
+        assert pt["t1"] is not None
+        general = dict(pt, table=pt["t1"], k=1, A=pt["A_full"], t1=None,
+                       alphabet=None,
+                       digit_of_dense=np.arange(pt["A_full"] + 1))
+        idxs = np.flatnonzero(bad)
+        gp, gc = query_long_reads(index, [patterns[i] for i in idxs],
+                                  chunk=chunk, pt=general)
+    dig_j = jnp.asarray(dig)
     lens_j = jnp.asarray(lens)
 
     pml_full = np.zeros((B, M), dtype=np.int32)
@@ -288,9 +367,14 @@ def query_long_reads(index: ColPmlIndex, patterns: list[bytes],
     for j in range(n_chunks):
         lo = M - (j + 1) * chunk
         (pml, cid), (pos, mlen) = query_chunk_pos(
-            pt["table"], pt["n"], enc_j[:, lo:lo + chunk], lens_j,
+            pt["table"], pt["n"], dig_j[:, lo:lo + chunk], lens_j,
             pos, mlen, jnp.int32(j * chunk), k=k, A=A, masked=True)
         pml_full[:, lo:lo + chunk] = np.asarray(pml)
         cid_full[:, lo:lo + chunk] = np.asarray(cid)
-    return ([pml_full[b, M - int(lens[b]):] for b in range(B)],
-            [cid_full[b, M - int(lens[b]):] for b in range(B)])
+    out_p = [pml_full[b, M - int(lens[b]):] for b in range(B)]
+    out_c = [cid_full[b, M - int(lens[b]):] for b in range(B)]
+    if bad.any():
+        for j, i in enumerate(np.flatnonzero(bad)):
+            out_p[i] = gp[j]
+            out_c[i] = gc[j]
+    return out_p, out_c

@@ -48,10 +48,12 @@ def choose_k_sharded(index: ColPmlIndex, ip: int,
                      hbm_budget_bytes: int = 10 << 30) -> int:
     """Largest k in {1,2,3} whose PER-SHARD table block fits the budget and
     whose per-shard gather indices fit int32."""
+    if index.n > query_pos.MAX_POS_N:
+        return 0
     A = index.sigma + 1
     n_local = -(-index.n // ip)
     best = 0
-    for k in (1, 2, 3):
+    for k in (1, 2, 3, 4):
         if (A ** k) * n_local > INT32_MAX:
             break
         if (A ** k) * n_local * 8 > hbm_budget_bytes:
@@ -82,17 +84,21 @@ def _build_sharded_tk(mesh: Mesh, t1: jnp.ndarray, n: int, n_local: int,
             in_range = gpos < n
             first = jnp.take(t1_local, digits[0] * n
                              + jnp.minimum(gpos, n - 1), axis=0, mode="clip")
-            pos = first[:, 0]
-            meta = first[:, 1]
+            pos = first[:, 0] & query_pos.POS_MASK
+            w0 = first[:, 0]  # match_0 already at bit 28
+            w1 = first[:, 1]
             for j in range(1, k):
                 nxt = jnp.take(t1_local, digits[j] * n + pos, axis=0,
                                mode="clip")
-                pos = nxt[:, 0]
-                meta = meta | ((nxt[:, 1] & 0xFF) << (8 * j)) \
-                    | (((nxt[:, 1] >> 24) & 1) << (24 + j))
-            pos = jnp.where(in_range, pos, gpos)
-            meta = jnp.where(in_range, meta, 0)
-            block = jnp.stack([pos, meta], axis=1)
+                pos = nxt[:, 0] & query_pos.POS_MASK
+                w0 = (w0 & ~query_pos.POS_MASK) \
+                    | (((nxt[:, 0] >> query_pos.POS_BITS) & 1)
+                       << (query_pos.POS_BITS + j)) | pos
+                w1 = w1 | ((nxt[:, 1] & 0xFF) << (8 * j))
+            # ip-padding rows (gpos >= n) are inert self-loops, never reached
+            w0 = jnp.where(in_range, w0, jnp.minimum(gpos, n - 1))
+            w1 = jnp.where(in_range, w1, 0)
+            block = jnp.stack([w0, w1], axis=1)
             return jax.lax.dynamic_update_slice(buf, block, (key * n_local, 0))
 
         buf = jnp.zeros((A ** k * n_local, 2), dtype=jnp.int32)
@@ -104,8 +110,8 @@ def _build_sharded_tk(mesh: Mesh, t1: jnp.ndarray, n: int, n_local: int,
 
 def shard_pos_tables(index: ColPmlIndex, mesh: Mesh, k: int | None = None,
                      hbm_budget_bytes: int = 10 << 30) -> dict:
-    if index.wide:
-        raise ValueError("positional tables need n < 2**31")
+    if index.wide or index.n > query_pos.MAX_POS_N:
+        raise ValueError("positional tables need n < 2**28")
     ip = mesh.shape["ip"]
     if k is None:
         k = choose_k_sharded(index, ip, hbm_budget_bytes)
@@ -157,14 +163,15 @@ def _sharded_pos_query(mesh: Mesh, table, patterns, lengths,
         def body(state, key_col):
             pos, mlen = state
             rows = fetch(key_col, pos)      # the ONE collective per k chars
-            meta = rows[:, 1]
+            w0 = rows[:, 0]
+            w1 = rows[:, 1]
             outs = []
             ln = mlen
             for j in range(k):
-                m = (meta >> (24 + j)) & 1
+                m = (w0 >> (query_pos.POS_BITS + j)) & 1
                 ln = (ln + 1) * m
-                outs.append((ln << 8) | ((meta >> (8 * j)) & 0xFF))
-            return (rows[:, 0], ln), jnp.stack(outs)
+                outs.append((ln << 8) | ((w1 >> (8 * j)) & 0xFF))
+            return (w0 & query_pos.POS_MASK, ln), jnp.stack(outs)
 
         _, ys = jax.lax.scan(body, (pos0, mlen0), keys)
         packed = ys.reshape(M, B).T[:, ::-1]

@@ -215,7 +215,7 @@ def stage_index(prefix: str, cfg: ColBwtConfig, logger):
         # cap for the int32-limb layout).
         wide = tbl.n > 2**31 - 1
         sigma = int(np.unique(O.normalize_heads(tbl.char)).size)
-        pos_viable = (not wide and (sigma + 1) * tbl.n <= 2**31 - 1
+        pos_viable = (not wide and tbl.n < 2**28
                       and (sigma + 1) * tbl.n * 8 <= cfg.pos_hbm_budget)
         split = (wide or cfg.run_split == "always"
                  or (cfg.run_split == "auto" and not pos_viable))
@@ -290,12 +290,21 @@ def query_pipeline(index_prefix: str, pattern_file: str,
     total_chars = sum(len(rd) for rd in reads)
     pos_k = (query_pos.choose_k(index, cfg.pos_hbm_budget)
              if (not index.wide and cfg.engine in ("auto", "pos")) else 0)
+    # DNA collections: ACGT-restricted keys reach the same or higher k at
+    # 1/(A/4)^k the memory; non-ACGT reads reroute through the kept general
+    # k=1 table, so the restriction is always exact.
+    pos_alpha = None
+    if pos_k >= 1 and set(index.alphabet.tolist()) - {1} <= set(b"ACGT"):
+        kq = query_pos.choose_k(index, cfg.pos_hbm_budget, alphabet=b"ACGT")
+        if kq >= pos_k:
+            pos_k, pos_alpha = kq, b"ACGT"
     use_pos = pos_k >= 1 and (cfg.engine == "pos" or total_chars >= 1_000_000)
     use_mega = (not use_pos and index.ff_bound >= 2
                 and cfg.engine in ("auto", "mega"))
     use_fused = (not use_pos and not use_mega and index.ff_bound >= 1
                  and cfg.engine in ("auto", "fused"))
-    pt = query_pos.build_pos_tables(index, pos_k) if use_pos else None
+    pt = (query_pos.build_pos_tables(index, pos_k, alphabet=pos_alpha)
+          if use_pos else None)
     mt = query_mega.build_mega_table(index) if use_mega else None
     ft = None
     if use_fused:
@@ -316,12 +325,21 @@ def query_pipeline(index_prefix: str, pattern_file: str,
 
         if use_pos:
             padded = -(-padded // pos_k) * pos_k  # key folding needs M % k == 0
-        enc, lens = index.encode_patterns(batch, padded)
-        ej, lj = device_put_chunked(enc), jnp.asarray(lens)
-        if use_pos:
+            dig, lens, bad = query_pos._encode_digits(index, pt, batch, padded)
+            ej, lj = device_put_chunked(dig), jnp.asarray(lens)
             p, c = query_pos.query_batch_pos(pt["table"], pt["n"], ej, lj,
                                              k=pos_k, A=pt["A"])
-        elif use_mega:
+            if bad.any():  # reads with non-key bytes: general k=1 fallback
+                idxs = np.flatnonzero(bad)
+                e2, l2 = index.encode_patterns([batch[i] for i in idxs], padded)
+                p2, c2 = query_pos.query_batch_pos(
+                    pt["t1"], pt["n"], jnp.asarray(e2), jnp.asarray(l2),
+                    k=1, A=pt["A_full"])
+                return p, c, lens, (idxs, p2, c2)
+            return p, c, lens, None
+        enc, lens = index.encode_patterns(batch, padded)
+        ej, lj = device_put_chunked(enc), jnp.asarray(lens)
+        if use_mega:
             p, c = query_mega.query_batch_mega(mt, ej, lj,
                                                ff_bound=index.ff_bound)
         elif use_fused:
@@ -333,7 +351,7 @@ def query_pipeline(index_prefix: str, pattern_file: str,
             tb = query_xla.index_device_arrays(index)
             p, c = query_xla.query_batch_device(tb, ej, lj,
                                                 ff_bound=index.ff_bound)
-        return p, c, lens
+        return p, c, lens, None
 
     # bucket by padded length to bound recompilation while avoiding wasted
     # steps; long reads stream in chunks with carried state (the -l mode,
@@ -357,9 +375,14 @@ def query_pipeline(index_prefix: str, pattern_file: str,
             pending.append(
                 (chunk, padded, dispatch_batch([reads[i] for i in chunk],
                                                padded)))
-    for chunk, padded, (p_dev, c_dev, lens) in pending:
+    for chunk, padded, (p_dev, c_dev, lens, fallback) in pending:
         p = np.asarray(p_dev)
         c = np.asarray(c_dev)
+        if fallback is not None:  # splice rerouted non-key-byte reads back in
+            idxs, p2_dev, c2_dev = fallback
+            p, c = np.array(p), np.array(c)  # asarray views are read-only
+            p[idxs] = np.asarray(p2_dev)
+            c[idxs] = np.asarray(c2_dev)
         width = p.shape[1]  # may exceed `padded` (pos engine pads to k-multiple)
         for j, i in enumerate(chunk):
             m = int(lens[j])

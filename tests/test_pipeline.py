@@ -118,3 +118,31 @@ def test_query_long_reads_through_cli(toy, rng):
 def test_query_rejects_missing_index(tmp_path):
     with pytest.raises(FileNotFoundError):
         cli_main(["query", str(tmp_path / "nope"), "-p", str(tmp_path / "x.fa")])
+
+
+def test_query_pipeline_forced_pos_with_fallback_reads(toy):
+    """engine="pos" on a DNA collection uses ACGT-restricted keys; reads
+    containing N bytes splice back in via the general k=1 fallback."""
+    from colbwt_tpu.pipeline import build_pipeline, query_pipeline
+    from colbwt_tpu.utils.config import ColBwtConfig
+
+    tmp, docs, reads = toy
+    mixed = [r.seq for r in reads[:4]]
+    mixed.append(docs[0][10:40] + b"N" + docs[0][41:80])
+    write_fasta(tmp / "mix.fa",
+                [FastaRecord(f"m{i}", s) for i, s in enumerate(mixed)])
+    cfg = ColBwtConfig(min_mum=10, split_rate=2, engine="pos")
+    build_pipeline([str(tmp / "seq1.fa"), str(tmp / "seq2.fa")],
+                   str(tmp / "pidx"), cfg)
+    _, pmls, cids = query_pipeline(str(tmp / "pidx"), str(tmp / "mix.fa"), cfg)
+
+    heads, lens = F.read_rlbwt(tmp / "pidx.fa")
+    thr = F.read_thresholds_file(tmp / "pidx.fa.thr_pos")
+    bv = F.read_sdsl_bit_vector(tmp / "pidx.fa.col_runs")
+    ids = F.read_col_ids(tmp / "pidx.fa.col_ids")
+    tbl = O.build_col_pml(heads, lens, np.flatnonzero(bv),
+                          ids.astype(np.int64), thr.astype(np.int64))
+    for s, pml, cid in zip(mixed, pmls, cids):
+        ep, ec = O.query_pml_oracle(tbl, s)
+        np.testing.assert_array_equal(pml, ep, err_msg=repr(s))
+        np.testing.assert_array_equal(cid, ec, err_msg=repr(s))

@@ -63,3 +63,49 @@ def test_choose_k_budgets(rng):
     assert query_pos.choose_k(index, budget) == 2
     assert query_pos.choose_k(index, (A ** 3) * index.n * 8) == 3
     assert query_pos.choose_k(index, 8) == 0
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4])
+def test_pos_restricted_alphabet_matches_oracle(rng, k):
+    """ACGT-restricted keys; reads with other bytes take the k=1 fallback."""
+    base = bytes(rng.choice(list(b"ACGT"), 250).astype("uint8"))
+    docs = random_docs(rng, 3, mutate_from=base)
+    tbl, index = build_index(docs)
+    reads = make_reads(rng, docs, 16) + [b"NNNNN", b"ACGNACGT", b"A",
+                                         docs[0][10:40] + b"X" + docs[0][40:70]]
+    pmls, cids = query_pos.query_batch(index, reads, k=k, alphabet=b"ACGT")
+    for read, pml, cid in zip(reads, pmls, cids):
+        ep, ec = O.query_pml_oracle(tbl, read)
+        np.testing.assert_array_equal(pml, ep, err_msg=f"PML {read!r} k={k}")
+        np.testing.assert_array_equal(cid, ec, err_msg=f"CID {read!r} k={k}")
+
+
+def test_pos_restricted_long_reads(rng):
+    base = bytes(rng.choice(list(b"ACGT"), 400).astype("uint8"))
+    docs = random_docs(rng, 3, mutate_from=base)
+    tbl, index = build_index(docs)
+    reads = make_reads(rng, docs, 5, lo=90, hi=230)
+    reads.append(docs[0][0:100] + b"N" + docs[0][100:220])  # fallback lane
+    pt = query_pos.build_pos_tables(index, k=3, alphabet=b"ACGT")
+    p1, c1 = query_pos.query_batch(index, reads, pt=pt)
+    p2, c2 = query_pos.query_long_reads(index, reads, chunk=32, pt=pt)
+    for r, a, b in zip(reads, p1, p2):
+        np.testing.assert_array_equal(a, b, err_msg=repr(r))
+    for a, b in zip(c1, c2):
+        np.testing.assert_array_equal(a, b)
+    for read, pml, cid in zip(reads, p1, c1):
+        ep, ec = O.query_pml_oracle(tbl, read)
+        np.testing.assert_array_equal(pml, ep)
+        np.testing.assert_array_equal(cid, ec)
+
+
+def test_choose_k_restricted_reaches_higher(rng):
+    docs = random_docs(rng, 2, lo=40, hi=80)
+    _, index = build_index(docs)
+    A = index.sigma + 1
+    budget_k4q = 256 * index.n * 8  # 4**4 ACGT keys
+    assert query_pos.choose_k(index, budget_k4q, alphabet=b"ACGT") == 4
+    if A == 6:  # general keys: 6**4 = 1296 blocks is 5x over that budget
+        assert query_pos.choose_k(index, budget_k4q) == 3
+    # restricted k=2 fits where general k=2 does not (16 vs 36 blocks)
+    assert query_pos.choose_k(index, 17 * index.n * 8, alphabet=b"ACGT") == 2
