@@ -50,35 +50,53 @@ import numpy as np
 from colbwt_tpu.models.index import ColPmlIndex
 
 INT32_MAX = 2**31 - 1
-POS_BITS = 28
-POS_MASK = (1 << POS_BITS) - 1
-MAX_POS_N = 1 << POS_BITS
 _PML_PACK_LIMIT = 1 << 23
-MAX_K = 4  # 4 cid bytes fill word1; 4 match bits fit above a 28-bit position
+MAX_K = 4  # 4 cid bytes fill word1
+# word0 holds the position in its low 32-k bits and the k match flags above
+# (bit 31 is fine: extraction is bitwise only).  T1 itself uses the k=1
+# layout (match at bit 31); composition repacks at the target k's layout.
+T1_POS_BITS = 31
+
+
+def pos_bits(k: int) -> int:
+    return 32 - k
+
+
+def pos_mask(k: int) -> int:
+    return (1 << pos_bits(k)) - 1
+
+
+def fits(index: ColPmlIndex, k: int, A_key: int) -> bool:
+    """int32 gather indices AND the position fits word0's low 32-k bits."""
+    return ((A_key ** k) * index.n <= INT32_MAX
+            and index.n <= (1 << pos_bits(k)))
 
 
 def choose_k(index: ColPmlIndex, hbm_budget_bytes: int = 10 << 30,
              alphabet: bytes | None = None) -> int:
-    """Largest k <= 4 whose table fits the HBM budget and whose gather
-    indices fit int32 (restricted alphabets reach higher k: |Q|^k keys)."""
-    if index.n > MAX_POS_N:
+    """Largest k <= 4 whose table fits the HBM budget, whose gather indices
+    fit int32, and whose positions fit 32-k bits (restricted alphabets
+    reach higher k and larger n: |Q|^k keys)."""
+    if index.wide:
         return 0
     A = len(alphabet) if alphabet is not None else index.sigma + 1
     best = 0
     for k in range(1, MAX_K + 1):
-        keys = A ** k
-        if keys * index.n > INT32_MAX:
+        if not fits(index, k, A):
             break
-        if keys * index.n * 8 > hbm_budget_bytes:
+        if (A ** k) * index.n * 8 > hbm_budget_bytes:
             break
         best = k
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("n", "A"))
+@functools.partial(jax.jit, static_argnames=("n",))
 def _build_t1(char, idx, length, lf_pos0, threshold, pred_jump, succ_jump,
-              col_id, n: int, A: int):
-    """T1[c*n + pos] = [new_pos | match<<28, col_id] for one step."""
+              col_id, build_chars, n: int):
+    """T1[q*n + pos] = [new_pos | match<<31, col_id] for one step of the
+    q-th char in `build_chars` (the key digits: all dense chars for the
+    general alphabet, the Q-byte ids for a restricted one — restricting T1
+    itself keeps its gather indices len(Q)*n, which matters at large n)."""
     r = char.shape[0]
     pos = jax.lax.iota(jnp.int32, n)
     run = jnp.searchsorted(idx, pos, side="right").astype(jnp.int32) - 1
@@ -106,43 +124,46 @@ def _build_t1(char, idx, length, lf_pos0, threshold, pred_jump, succ_jump,
         repos = jnp.where(take_pred, pred_pos,
                           jnp.where(take_succ, succ_pos, lf_match))
         new_pos = jnp.where(match, lf_match, repos)
-        w0 = new_pos | (match.astype(jnp.int32) << POS_BITS)
+        w0 = new_pos | (match.astype(jnp.int32) << T1_POS_BITS)
         return jnp.stack([w0, run_cid], axis=1)
 
-    blocks = jax.lax.map(per_char, jnp.arange(A, dtype=jnp.int32))
-    return blocks.reshape(A * n, 2)
+    blocks = jax.lax.map(per_char, build_chars.astype(jnp.int32))
+    return blocks.reshape(build_chars.shape[0] * n, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "A_key", "k"),
                    donate_argnums=(0,))
-def _build_tk(buf, t1, digit_chars, n: int, A_key: int, k: int):
+def _build_tk(buf, t1, n: int, A_key: int, k: int):
     """Fill T_k composed directly from T1 (k-1 chained gathers per element):
     no intermediate T_j is ever materialized, and the donated output buffer
-    is updated in place by the fori_loop.
+    is updated in place by the fori_loop (lax.map's stacked-ys accumulator
+    double-buffers, which OOMs for multi-GB tables — measured on v5e).
 
-    digit_chars maps key digits (base A_key) to dense char ids — identity
-    for the general alphabet, the Q-byte ids for a restricted one.  Peak
-    memory: T_k + T1 + one (n, 2) block."""
+    t1 is keyed by the same digits as the output (its blocks ARE the key
+    alphabet).  Peak memory: T_k + T1 + one (n, 2) block."""
+
+    t1_mask = pos_mask(1)
+    pb = pos_bits(k)
 
     def body(key, buf):
         digits = []  # big-endian: first processed char is the high digit
         rem = key
         for j in range(k):
             p = A_key ** (k - 1 - j)
-            digits.append(digit_chars[rem // p])
+            digits.append(rem // p)
             rem = rem % p
         blk = jnp.take(t1, digits[0] * n + jax.lax.iota(jnp.int32, n),
                        axis=0, mode="clip")
-        pos = blk[:, 0] & POS_MASK
-        w0_acc = blk[:, 0]  # match_0 already at bit 28
+        pos = blk[:, 0] & t1_mask
+        w0_acc = ((blk[:, 0] >> T1_POS_BITS) & 1) << pb  # repack match_0
         w1_acc = blk[:, 1]
         for j in range(1, k):
             nxt = jnp.take(t1, digits[j] * n + pos, axis=0, mode="clip")
-            pos = nxt[:, 0] & POS_MASK
-            w0_acc = (w0_acc & ~POS_MASK) \
-                | (((nxt[:, 0] >> POS_BITS) & 1) << (POS_BITS + j)) | pos
+            pos = nxt[:, 0] & t1_mask
+            w0_acc = w0_acc \
+                | (((nxt[:, 0] >> T1_POS_BITS) & 1) << (pb + j))
             w1_acc = w1_acc | ((nxt[:, 1] & 0xFF) << (8 * j))
-        block = jnp.stack([w0_acc, w1_acc], axis=1)
+        block = jnp.stack([w0_acc | pos, w1_acc], axis=1)
         return jax.lax.dynamic_update_slice(buf, block, (key * n, 0))
 
     return jax.lax.fori_loop(0, A_key ** k, body, buf)
@@ -154,9 +175,6 @@ def build_pos_tables(index: ColPmlIndex, k: int | None = None,
     """Build the k-step tables (on device).  With `alphabet`, keys range
     over those bytes only and the general T1 is kept for fallback routing of
     reads containing other bytes."""
-    if index.wide or index.n > MAX_POS_N:
-        raise ValueError("positional tables need n < 2**28 "
-                         "(use ops.query_mega / query_mega_wide beyond)")
     if k is None:
         k = choose_k(index, hbm_budget_bytes, alphabet)
         if k == 0:
@@ -174,9 +192,11 @@ def build_pos_tables(index: ColPmlIndex, k: int | None = None,
     else:
         digit_dense = np.arange(A_full, dtype=np.int32)
         A_key = A_full
-    if (A_key ** k) * n > INT32_MAX:
-        raise ValueError(f"A_key**k * n = {(A_key ** k) * n} overflows int32 "
-                         f"gather indices (A_key={A_key}, k={k}, n={n})")
+    if index.wide or not fits(index, k, A_key):
+        raise ValueError(
+            f"positional tables need A_key**k * n <= 2**31 and n <= "
+            f"2**(32-k) (A_key={A_key}, k={k}, n={n}); use ops.query_mega "
+            "/ query_mega_wide beyond")
 
     idx = jnp.asarray(index.idx.astype(np.int32))
     length = jnp.asarray(index.length.astype(np.int32))
@@ -184,30 +204,40 @@ def build_pos_tables(index: ColPmlIndex, k: int | None = None,
     lf_pos0 = jnp.asarray((index.idx.astype(np.int64)[di]
                            + index.dest_offset.astype(np.int64)
                            ).astype(np.int32))
-    t1 = _build_t1(
-        jnp.asarray(index.char), idx, length, lf_pos0,
-        jnp.asarray(index.threshold.astype(np.int32)),
-        jnp.asarray(index.pred_jump), jnp.asarray(index.succ_jump),
-        jnp.asarray(index.col_id), n=n, A=A_full)
-    if k == 1 and alphabet is None:
+
+    def t1_for(chars):
+        return _build_t1(
+            jnp.asarray(index.char), idx, length, lf_pos0,
+            jnp.asarray(index.threshold.astype(np.int32)),
+            jnp.asarray(index.pred_jump), jnp.asarray(index.succ_jump),
+            jnp.asarray(index.col_id), jnp.asarray(chars.astype(np.int32)),
+            n=n)
+
+    t1 = t1_for(digit_dense)  # keyed by the key digits themselves
+    if k == 1:
         table = t1
     else:
         buf = jnp.zeros((A_key ** k * n, 2), dtype=jnp.int32)
-        table = _build_tk(buf, t1, jnp.asarray(digit_dense.astype(np.int32)),
-                          n=n, A_key=A_key, k=k)
-        del buf
+        table = _build_tk(buf, t1, n=n, A_key=A_key, k=k)
+        del buf, t1
 
-    # byte -> key digit (or -1: read needs the general fallback)
+    # byte -> key digit (or -1: read reroutes through the fallback — the
+    # general k=1 T1 when it fits, else ops.query_xla, handled by callers)
     if alphabet is not None:
         digit_of_dense = np.full(A_full + 1, -1, dtype=np.int32)
         digit_of_dense[digit_dense] = np.arange(A_key, dtype=np.int32)
+        t1_general = (t1_for(np.arange(A_full, dtype=np.int32))
+                      if fits(index, 1, A_full)
+                      and (A_key ** k + A_full) * n * 8 <= hbm_budget_bytes
+                      else None)
     else:
         digit_of_dense = np.arange(A_full + 1, dtype=np.int32)
         digit_of_dense[A_full] = A_full  # never produced by encode_patterns
+        t1_general = None  # the main table already covers every char
 
     return {
         "table": table,
-        "t1": t1 if alphabet is not None else None,  # fallback path
+        "t1": t1_general,  # fallback path (restricted alphabets only)
         "n": jnp.int32(n),
         "k": k,
         "A": A_key,
@@ -244,6 +274,8 @@ def query_chunk_pos(pt_table, n, patterns, lengths, pos0, mlen0, step_offset,
     cols = patterns[:, ::-1].T.astype(jnp.int32)
     keys = _fold_keys(cols, k, A)
     steps = (jnp.arange(M // k, dtype=jnp.int32) * k) + step_offset
+    pb = pos_bits(k)
+    mask = pos_mask(k)
 
     def body(state, xs):
         pos, mlen = state
@@ -254,14 +286,14 @@ def query_chunk_pos(pt_table, n, patterns, lengths, pos0, mlen0, step_offset,
         outs = []
         ln = mlen
         for j in range(k):
-            m = (w0 >> (POS_BITS + j)) & 1
+            m = (w0 >> (pb + j)) & 1
             ln = (ln + 1) * m  # match ? len+1 : 0
             cid = (w1 >> (8 * j)) & 0xFF
             packed = (ln << 8) | cid
             if masked:
                 packed = jnp.where(i + j < lengths, packed, 0)
             outs.append(packed)
-        return (w0 & POS_MASK, ln), jnp.stack(outs)
+        return (w0 & mask, ln), jnp.stack(outs)
 
     (pos, mlen), ys = jax.lax.scan(body, (pos0, mlen0), (keys, steps),
                                    unroll=unroll)
@@ -315,17 +347,23 @@ def query_batch(index: ColPmlIndex, patterns: list[bytes],
     out_p = [pml[b, M - int(lens[b]):] for b in range(len(patterns))]
     out_c = [cid[b, M - int(lens[b]):] for b in range(len(patterns))]
     if bad.any():
-        if pt["t1"] is None:
-            raise AssertionError("general table has no unmappable bytes")
         idxs = np.flatnonzero(bad)
-        enc, blens = index.encode_patterns([patterns[i] for i in idxs], M)
-        p2, c2 = query_batch_pos(pt["t1"], pt["n"], jnp.asarray(enc),
-                                 jnp.asarray(blens), k=1, A=pt["A_full"])
-        p2 = np.asarray(p2)
-        c2 = np.asarray(c2)
+        if pt["t1"] is not None:
+            enc, blens = index.encode_patterns([patterns[i] for i in idxs], M)
+            p2, c2 = query_batch_pos(pt["t1"], pt["n"], jnp.asarray(enc),
+                                     jnp.asarray(blens), k=1, A=pt["A_full"])
+            p2 = np.asarray(p2)
+            c2 = np.asarray(c2)
+            pc2 = ([p2[j, M - int(blens[j]):] for j in range(idxs.size)],
+                   [c2[j, M - int(blens[j]):] for j in range(idxs.size)])
+        else:  # general T1 does not fit: compact engine serves the stragglers
+            from colbwt_tpu.ops import query_xla
+
+            pc2 = query_xla.query_batch(index, [patterns[i] for i in idxs],
+                                        max_len=M)
         for j, i in enumerate(idxs):
-            out_p[i] = p2[j, M - int(blens[j]):]
-            out_c[i] = c2[j, M - int(blens[j]):]
+            out_p[i] = pc2[0][j]
+            out_c[i] = pc2[1][j]
     return out_p, out_c
 
 
@@ -349,14 +387,20 @@ def query_long_reads(index: ColPmlIndex, patterns: list[bytes],
         raise ValueError(f"padded length {M} overflows the pml<<8 packing")
     dig, lens, bad = _encode_digits(index, pt, patterns, M)
     if bad.any():
-        # reroute whole reads through the general table (k=1) chunks
-        assert pt["t1"] is not None
-        general = dict(pt, table=pt["t1"], k=1, A=pt["A_full"], t1=None,
-                       alphabet=None,
-                       digit_of_dense=np.arange(pt["A_full"] + 1))
+        # reroute whole reads: through the general k=1 table when kept,
+        # else the compact engine (exact either way, just slower)
         idxs = np.flatnonzero(bad)
-        gp, gc = query_long_reads(index, [patterns[i] for i in idxs],
-                                  chunk=chunk, pt=general)
+        if pt["t1"] is not None:
+            general = dict(pt, table=pt["t1"], k=1, A=pt["A_full"], t1=None,
+                           alphabet=None,
+                           digit_of_dense=np.arange(pt["A_full"] + 1))
+            gp, gc = query_long_reads(index, [patterns[i] for i in idxs],
+                                      chunk=chunk, pt=general)
+        else:
+            from colbwt_tpu.ops import query_xla
+
+            gp, gc = query_xla.query_batch(index,
+                                           [patterns[i] for i in idxs])
     dig_j = jnp.asarray(dig)
     lens_j = jnp.asarray(lens)
 

@@ -46,15 +46,16 @@ INT32_MAX = 2**31 - 1
 
 def choose_k_sharded(index: ColPmlIndex, ip: int,
                      hbm_budget_bytes: int = 10 << 30) -> int:
-    """Largest k in {1,2,3} whose PER-SHARD table block fits the budget and
-    whose per-shard gather indices fit int32."""
-    if index.n > query_pos.MAX_POS_N:
+    """Largest k whose PER-SHARD table block fits the budget, whose
+    per-shard gather indices fit int32, and whose positions fit 32-k bits
+    (T1 stays replicated, so A * n <= 2**31 is also required)."""
+    if index.wide or (index.sigma + 1) * index.n > INT32_MAX:
         return 0
     A = index.sigma + 1
     n_local = -(-index.n // ip)
     best = 0
     for k in (1, 2, 3, 4):
-        if (A ** k) * n_local > INT32_MAX:
+        if (A ** k) * n_local > INT32_MAX or index.n > (1 << query_pos.pos_bits(k)):
             break
         if (A ** k) * n_local * 8 > hbm_budget_bytes:
             break
@@ -70,6 +71,9 @@ def _build_sharded_tk(mesh: Mesh, t1: jnp.ndarray, n: int, n_local: int,
     Positions >= n (ip padding) get inert self-loop rows (never reachable:
     new_pos < n always, and pos0 = n-1 < n)."""
 
+    t1_mask = query_pos.pos_mask(1)
+    pb = query_pos.pos_bits(k)
+
     def shard_fn(t1_local):
         lo = jax.lax.axis_index("ip").astype(jnp.int32) * n_local
 
@@ -84,17 +88,17 @@ def _build_sharded_tk(mesh: Mesh, t1: jnp.ndarray, n: int, n_local: int,
             in_range = gpos < n
             first = jnp.take(t1_local, digits[0] * n
                              + jnp.minimum(gpos, n - 1), axis=0, mode="clip")
-            pos = first[:, 0] & query_pos.POS_MASK
-            w0 = first[:, 0]  # match_0 already at bit 28
+            pos = first[:, 0] & t1_mask
+            w0 = ((first[:, 0] >> query_pos.T1_POS_BITS) & 1) << pb
             w1 = first[:, 1]
             for j in range(1, k):
                 nxt = jnp.take(t1_local, digits[j] * n + pos, axis=0,
                                mode="clip")
-                pos = nxt[:, 0] & query_pos.POS_MASK
-                w0 = (w0 & ~query_pos.POS_MASK) \
-                    | (((nxt[:, 0] >> query_pos.POS_BITS) & 1)
-                       << (query_pos.POS_BITS + j)) | pos
+                pos = nxt[:, 0] & t1_mask
+                w0 = w0 | (((nxt[:, 0] >> query_pos.T1_POS_BITS) & 1)
+                           << (pb + j))
                 w1 = w1 | ((nxt[:, 1] & 0xFF) << (8 * j))
+            w0 = w0 | pos
             # ip-padding rows (gpos >= n) are inert self-loops, never reached
             w0 = jnp.where(in_range, w0, jnp.minimum(gpos, n - 1))
             w1 = jnp.where(in_range, w1, 0)
@@ -110,8 +114,6 @@ def _build_sharded_tk(mesh: Mesh, t1: jnp.ndarray, n: int, n_local: int,
 
 def shard_pos_tables(index: ColPmlIndex, mesh: Mesh, k: int | None = None,
                      hbm_budget_bytes: int = 10 << 30) -> dict:
-    if index.wide or index.n > query_pos.MAX_POS_N:
-        raise ValueError("positional tables need n < 2**28")
     ip = mesh.shape["ip"]
     if k is None:
         k = choose_k_sharded(index, ip, hbm_budget_bytes)
@@ -120,9 +122,12 @@ def shard_pos_tables(index: ColPmlIndex, mesh: Mesh, k: int | None = None,
     A = index.sigma + 1
     n = index.n
     n_local = -(-n // ip)
-    if (A ** k) * n_local > INT32_MAX:
-        raise ValueError(f"A**k * n/ip = {(A ** k) * n_local} overflows "
-                         "int32 shard-local gather indices")
+    if index.wide or (A ** k) * n_local > INT32_MAX \
+            or n > (1 << query_pos.pos_bits(k)) or A * n > INT32_MAX:
+        raise ValueError(
+            f"sharded positional tables need A**k * n/ip <= 2**31, "
+            f"A * n <= 2**31 (T1 is replicated), and n <= 2**(32-k) "
+            f"(A={A}, k={k}, n={n}, ip={ip})")
 
     idx = jnp.asarray(index.idx.astype(np.int32))
     length = jnp.asarray(index.length.astype(np.int32))
@@ -134,7 +139,8 @@ def shard_pos_tables(index: ColPmlIndex, mesh: Mesh, k: int | None = None,
         jnp.asarray(index.char), idx, length, lf_pos0,
         jnp.asarray(index.threshold.astype(np.int32)),
         jnp.asarray(index.pred_jump), jnp.asarray(index.succ_jump),
-        jnp.asarray(index.col_id), n=n, A=A)
+        jnp.asarray(index.col_id),
+        jnp.arange(A, dtype=jnp.int32), n=n)
     t1 = jax.device_put(t1, NamedSharding(mesh, P()))  # replicated
     table = _build_sharded_tk(mesh, t1, n=n, n_local=n_local, A=A, k=k)
     return {"table": table, "n": n, "n_local": n_local, "k": k, "A": A}
@@ -160,6 +166,9 @@ def _sharded_pos_query(mesh: Mesh, table, patterns, lengths,
         pos0 = jnp.broadcast_to(jnp.int32(n - 1), (B,))
         mlen0 = jnp.zeros((B,), dtype=jnp.int32)
 
+        pb = query_pos.pos_bits(k)
+        mask = query_pos.pos_mask(k)
+
         def body(state, key_col):
             pos, mlen = state
             rows = fetch(key_col, pos)      # the ONE collective per k chars
@@ -168,10 +177,10 @@ def _sharded_pos_query(mesh: Mesh, table, patterns, lengths,
             outs = []
             ln = mlen
             for j in range(k):
-                m = (w0 >> (query_pos.POS_BITS + j)) & 1
+                m = (w0 >> (pb + j)) & 1
                 ln = (ln + 1) * m
                 outs.append((ln << 8) | ((w1 >> (8 * j)) & 0xFF))
-            return (w0 & query_pos.POS_MASK, ln), jnp.stack(outs)
+            return (w0 & mask, ln), jnp.stack(outs)
 
         _, ys = jax.lax.scan(body, (pos0, mlen0), keys)
         packed = ys.reshape(M, B).T[:, ::-1]

@@ -332,9 +332,15 @@ def query_pipeline(index_prefix: str, pattern_file: str,
             if bad.any():  # reads with non-key bytes: general k=1 fallback
                 idxs = np.flatnonzero(bad)
                 e2, l2 = index.encode_patterns([batch[i] for i in idxs], padded)
-                p2, c2 = query_pos.query_batch_pos(
-                    pt["t1"], pt["n"], jnp.asarray(e2), jnp.asarray(l2),
-                    k=1, A=pt["A_full"])
+                if pt["t1"] is not None:
+                    p2, c2 = query_pos.query_batch_pos(
+                        pt["t1"], pt["n"], jnp.asarray(e2), jnp.asarray(l2),
+                        k=1, A=pt["A_full"])
+                else:  # general T1 doesn't fit HBM: compact engine
+                    tb = query_xla.index_device_arrays(index)
+                    p2, c2 = query_xla.query_batch_device(
+                        tb, jnp.asarray(e2), jnp.asarray(l2),
+                        ff_bound=index.ff_bound)
                 return p, c, lens, (idxs, p2, c2)
             return p, c, lens, None
         enc, lens = index.encode_patterns(batch, padded)
