@@ -155,3 +155,16 @@ def test_multi_mums_many_documents(rng):
     lj, pj = CJ.find_multi_mums_jax(ranks, sa, lcp, doc_ids, 80, 4)
     np.testing.assert_array_equal(pj, po)
     np.testing.assert_array_equal(lj, lo)
+
+
+def test_sliding_min_brute_force(rng):
+    """van Herk two-cummin sliding min == brute-force window min, including
+    windows hanging past the end (treated as +inf) and w > n."""
+    import jax.numpy as jnp
+
+    for n in [1, 2, 7, 64, 257]:
+        for w in [1, 2, 3, 5, 8, 17, 64, 300]:
+            x = rng.integers(-50, 50, n).astype(np.int32)
+            got = np.asarray(CJ._sliding_min(jnp.asarray(x), w))
+            ref = np.array([x[i:i + w].min() for i in range(n)], np.int32)
+            np.testing.assert_array_equal(got, ref, err_msg=f"n={n} w={w}")
