@@ -168,3 +168,25 @@ def test_sliding_min_brute_force(rng):
             got = np.asarray(CJ._sliding_min(jnp.asarray(x), w))
             ref = np.array([x[i:i + w].min() for i in range(n)], np.int32)
             np.testing.assert_array_equal(got, ref, err_msg=f"n={n} w={w}")
+
+
+def test_multi_mums_planted_cores_high_n(rng):
+    """Hundreds of documents sharing two conserved cores flanked by random
+    arms: the device scan must find exactly those MUMs (exercises the van
+    Herk sliding-min at window widths ~N)."""
+    N = 400
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    core1 = rng.choice(ACGT, 40)
+    core2 = rng.choice(ACGT, 25)
+    docs = [np.concatenate([rng.choice(ACGT, 30), core1,
+                            rng.choice(ACGT, 20), core2,
+                            rng.choice(ACGT, 10)]).tobytes()
+            for _ in range(N)]
+    text, ranks, doc_ids = O.concat_collection(docs)
+    sa = O.suffix_array(ranks)
+    lcp = O.lcp_kasai(ranks, sa)
+    lo, po = O.find_multi_mums(ranks, sa, lcp, doc_ids, N, 8)
+    lj, pj = CJ.find_multi_mums_jax(ranks, sa, lcp, doc_ids, N, 8)
+    np.testing.assert_array_equal(pj, po)
+    np.testing.assert_array_equal(lj, lo)
+    assert sorted(lo.tolist()) == [25, 40]
