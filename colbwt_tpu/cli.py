@@ -52,7 +52,9 @@ def _query(args: argparse.Namespace) -> int:
     from colbwt_tpu.pipeline import query_pipeline
 
     cfg = ColBwtConfig(verbose=args.verbose)
-    query_pipeline(args.index, args.pattern, cfg, write_text=args.text)
+    query_pipeline(args.index, args.pattern, cfg,
+                   write_text=args.text and not args.long,
+                   write_text_long=args.text and args.long)
     print(f"Output at {args.pattern}.split.pml.bin and "
           f"{args.pattern}.split.cid.bin")
     return 0
@@ -94,6 +96,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="pattern fasta file")
     q.add_argument("--text", action="store_true",
                    help="also write .pml/.cid text outputs")
+    q.add_argument("-l", "--long", action="store_true",
+                   help="long-pattern mode: with --text, write the "
+                        "reference's -l streaming text format "
+                        "(src/pml_query.cpp:32-63)")
     q.add_argument("-v", "--verbose", action="store_true")
 
     args = parser.parse_args(argv)

@@ -42,6 +42,37 @@ def write_pml_cid_text(pml_path: str | Path, cid_path: str | Path,
             f_cid.write("\n")
 
 
+def write_pml_cid_text_long(pml_path: str | Path, cid_path: str | Path,
+                            names: list[str],
+                            pmls: list[np.ndarray], cids: list[np.ndarray]
+                            ) -> None:
+    """The ``-l`` long-pattern text mode (pml_direct_to_file,
+    src/pml_query.cpp:32-63): the reference streams each value as it is
+    computed — header and digits character-reversed, values in backward scan
+    order — then shells out to ``rev`` to flip every line.  Reproduced here
+    literally (build the ``.rev`` intermediate content, then reverse each
+    line) so the final bytes match the reference process exactly."""
+
+    def rev_content(arrays: list[np.ndarray]) -> str:
+        parts: list[str] = []
+        for name, arr in zip(names, arrays):
+            header = f">{name} \n"
+            parts.append(header[::-1])  # std::reverse includes the newline
+            # store order is i = 0..m-1 -> text index m-1-i (backward scan),
+            # each written as ' ' + reversed digits
+            vals = np.asarray(arr)
+            parts.extend(" " + str(int(v))[::-1] for v in vals[::-1])
+            parts.append("\n")
+        return "".join(parts)
+
+    def rev_lines(s: str) -> str:
+        # `rev FILE > OUT` reverses the characters of every line
+        return "\n".join(line[::-1] for line in s.split("\n"))
+
+    Path(pml_path).write_text(rev_lines(rev_content(pmls)))
+    Path(cid_path).write_text(rev_lines(rev_content(cids)))
+
+
 def _write_binary_one(path: str | Path, names: list[str],
                       arrays: list[np.ndarray]) -> None:
     with Path(path).open("wb") as fh:

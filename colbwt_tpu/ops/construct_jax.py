@@ -146,19 +146,42 @@ def lcp_jax(ranks0: np.ndarray, sa: np.ndarray, pyramid: list[np.ndarray]
 # ---------------------------------------------------------------------------
 
 
+def _shift_left(x: jnp.ndarray, k: int, fill) -> jnp.ndarray:
+    """y[i] = x[i+k] with y[i >= n-k] = fill (static k)."""
+    if k == 0:
+        return x
+    if k >= x.shape[0]:
+        return jnp.full_like(x, fill)
+    return jnp.concatenate([x[k:], jnp.full((k,), fill, x.dtype)])
+
+
 def _sliding_min(x: jnp.ndarray, w: int) -> jnp.ndarray:
     """out[i] = min(x[i : i+w]) treating x[>=n] as +inf (w >= 1).
 
-    van Herk/Gil-Werman: pad to w-blocks, cummin within blocks forward (P)
-    and backward (S); a window [i, i+w) spans at most two blocks, so
-    out[i] = min(S[i], P[i+w-1]).  O(n) work and ~2n scratch — independent
-    of w, unlike sparse-table doubling's n*log2(w) levels, which at the
-    10k-document configs (w = N) cost 14x the input in HBM.
+    Two regimes, both O(n) memory:
+
+    - w < 128: binary doubling — f_s[i] = min(x[i:i+s]) for s = 1,2,4,...;
+      out = min(f_s[i], f_s[i+w-s]) once s <= w < 2s.  log2(w) shifted-min
+      passes over flat arrays.  (The van Herk reshape below would pad its
+      minor axis to the 128-lane tile, a 128/w memory blowup — at w=8 that
+      turned a 1.5 GB array into 23.5 GB of HBM.)
+    - w >= 128: van Herk/Gil-Werman — pad to w-blocks, cummin within blocks
+      forward (P) and backward (S); a window spans at most two blocks, so
+      out[i] = min(S[i], P[i+w-1]).  O(n) work independent of w (the
+      doubling's n*log2(w) passes would dominate at the 10k-document
+      configs), and at w >= 128 the (n/w, w) reshape's lane padding is < 2x.
     """
     if w == 1:
         return x
     n = x.shape[0]
     big = jnp.iinfo(x.dtype).max
+    if w < 128:
+        f = x
+        s = 1
+        while 2 * s <= w:
+            f = jnp.minimum(f, _shift_left(f, s, big))
+            s *= 2
+        return jnp.minimum(f, _shift_left(f, w - s, big))
     pad = (-n) % w + w                       # round up + one spare block
     xp = jnp.concatenate([x, jnp.full((pad,), big, x.dtype)])
     blocks = xp.reshape(-1, w)
@@ -219,6 +242,103 @@ def multi_mum_scan(lcp: jnp.ndarray, sa_docs: jnp.ndarray,
     return is_mum, ell
 
 
+@functools.partial(jax.jit, static_argnames=("num_docs", "min_mum"))
+def _mum_scan_chunk(lcp_s: jnp.ndarray, docs_s: jnp.ndarray,
+                    chg_s: jnp.ndarray, limit: jnp.ndarray,
+                    num_docs: int, min_mum: int
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One chunk of the multi-MUM scan (window conditions identical to
+    multi_mum_scan; differential-tested against it).
+
+    Inputs are slices with a 2N+2 halo past the chunk: for chunk [s, s+C),
+    lcp_s = lcp[s : s+C+2N+2] (0-padded past n), docs_s = doc_of_sa likewise
+    (-1-padded), chg_s = prev-char run-change bits likewise (1-padded), and
+    limit = n - N - s (window starts s+i with i > limit are out of range).
+    All chunk-local arithmetic is int32 regardless of n (the wide regime
+    n >= 2**31 only needs int64 on the host side), and peak HBM is O(C), so
+    collections far beyond HBM stream through a fixed-shape program.
+    """
+    N = num_docs
+    C = lcp_s.shape[0] - (2 * N + 2)
+
+    # ell[i] = min lcp[i+1 .. i+N-1]
+    ell = _sliding_min(lcp_s[1:1 + C + N], N - 1)[:C]
+    uniq = (lcp_s[:C] < ell) & (lcp_s[N:N + C] < ell)
+
+    # doc coverage via capped next-same-doc distances: d[j] = min t in
+    # [1, N+1] with docs[j+t] == docs[j], else N+1 (a true distance > N+1
+    # cannot break the window condition, so the cap is exact).  The window
+    # test min_{j in [i, i+N)} (j + d[j]) >= i + N runs in chunk-local
+    # coordinates.
+    probe_len = C + N
+
+    def d_body(t, d):
+        nxt = jax.lax.dynamic_slice(docs_s, (t,), (probe_len,))
+        match = nxt == docs_s[:probe_len]
+        return jnp.where(match & (d == N + 1), t, d)
+
+    d0 = jnp.full((probe_len,), N + 1, dtype=jnp.int32)
+    # ascending t with "first write wins" = minimal t
+    d = jax.lax.fori_loop(1, N + 2, d_body, d0)
+    y = jnp.arange(probe_len, dtype=jnp.int32) + d
+    win = _sliding_min(y, N)[:C]
+    covers = win >= jnp.arange(C, dtype=jnp.int32) + N
+
+    # left-maximality: any prev-char run change in (i, i+N-1]
+    neg_chg = -chg_s[1:1 + C + N].astype(jnp.int32)
+    left_max = _sliding_min(neg_chg, N - 1)[:C] < 0
+
+    i_local = jnp.arange(C, dtype=jnp.int32)
+    is_mum = ((ell >= min_mum) & uniq & covers & left_max
+              & (i_local <= limit))
+    return is_mum, ell
+
+
+def find_multi_mums_chunked(lcp: np.ndarray, sa_docs: np.ndarray,
+                            run_change: np.ndarray, num_docs: int,
+                            min_mum: int, chunk: int = 1 << 26
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """Stream the multi-MUM scan through the device in fixed-shape chunks.
+
+    Same outputs as find_multi_mums_jax, but peak HBM is O(chunk) instead of
+    O(n), so n is bounded by host RAM only (the n >= 2**31 HPRC-class
+    regime; the reference's mumemto stage runs PFP on the host for the same
+    reason, SURVEY §2.2)."""
+    n = int(np.asarray(lcp).shape[0])
+    N = num_docs
+    halo = 2 * N + 2
+    C = min(chunk, n)
+    out_lens: list[np.ndarray] = []
+    out_pos: list[np.ndarray] = []
+    for s in range(0, n, C):
+        def slice_padded(arr, fill, dtype):
+            sl = np.asarray(arr[s:s + C + halo])
+            if sl.size < C + halo:
+                sl = np.concatenate(
+                    [sl, np.full(C + halo - sl.size, fill, arr.dtype)])
+            return jnp.asarray(sl.astype(dtype))
+
+        is_mum, ell = _mum_scan_chunk(
+            slice_padded(lcp, 0, np.int32),
+            slice_padded(sa_docs, -1, np.int32),
+            slice_padded(run_change, 1, np.int32),
+            jnp.int32(min(n - N - s, C)),  # clip: n - s overflows int32 at wide n
+            N, min_mum)
+        mask = np.asarray(is_mum)
+        pos_local = np.flatnonzero(mask)
+        out_pos.append(pos_local.astype(np.int64) + s)
+        out_lens.append(np.asarray(ell)[pos_local].astype(np.int64))
+    if not out_pos:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy()
+    return np.concatenate(out_lens), np.concatenate(out_pos)
+
+
+# above this n the one-shot scan's ~10 n-sized device arrays overflow HBM;
+# stream fixed-shape chunks instead (observed: n = 368M OOMs at 15.5 GB)
+_CHUNKED_SCAN_MIN_N = 1 << 27
+
+
 def find_multi_mums_jax(ranks: np.ndarray, sa: np.ndarray, lcp: np.ndarray,
                         doc_ids: np.ndarray, num_docs: int, min_mum: int = 1
                         ) -> tuple[np.ndarray, np.ndarray]:
@@ -226,11 +346,16 @@ def find_multi_mums_jax(ranks: np.ndarray, sa: np.ndarray, lcp: np.ndarray,
     if num_docs < 2:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     sa = np.asarray(sa)
-    prev_rank = np.asarray(ranks)[sa - 1].astype(np.int32)
-    sa_docs = np.asarray(doc_ids)[sa].astype(np.int32)
+    prev_rank = np.asarray(ranks)[sa - 1]
+    sa_docs = np.asarray(doc_ids)[sa]
+    if sa.shape[0] >= _CHUNKED_SCAN_MIN_N:
+        run_change = np.ones(sa.shape[0], dtype=np.uint8)
+        np.not_equal(prev_rank[1:], prev_rank[:-1], out=run_change[1:].view(bool))
+        return find_multi_mums_chunked(lcp, sa_docs.astype(np.int32),
+                                       run_change, num_docs, min_mum)
     is_mum, ell = multi_mum_scan(
-        jnp.asarray(lcp, dtype=jnp.int32), jnp.asarray(sa_docs),
-        jnp.asarray(prev_rank), num_docs, min_mum)
+        jnp.asarray(lcp, dtype=jnp.int32), jnp.asarray(sa_docs.astype(np.int32)),
+        jnp.asarray(prev_rank.astype(np.int32)), num_docs, min_mum)
     mask = np.asarray(is_mum)
     pos = np.flatnonzero(mask).astype(np.int64)
     return np.asarray(ell)[pos].astype(np.int64), pos

@@ -652,6 +652,32 @@ def build_col_pml(heads: np.ndarray, lens: np.ndarray,
     return tbl
 
 
+def build_col_pml_from_plain_bwt(bwt: bytes | np.ndarray,
+                                 split_pos: np.ndarray, split_ids: np.ndarray,
+                                 thresholds_per_bwt_run: np.ndarray
+                                 ) -> LFTableArrays:
+    """col_bwt construction from the explicit BWT string (the plain-BWT
+    constructor surface, include/col_bwt.hpp:232-329): run-length encode the
+    raw BWT, then split at col_runs positions exactly like the RLBWT path.
+
+    Note the reference's own plain-BWT ctor is dead code with a latent bug:
+    its char counter ``i`` never increments inside the read loop (it only
+    increments when a run is pushed, which is gated on ``i != 0`` — initially
+    false and never made true), so the in-loop run push can never fire and
+    nothing in the repo calls this ctor (build_col_bwt uses the RLBWT ctor at
+    src/build_col_bwt.cpp:38).  This function implements the *intended*
+    semantics, which — given col_split marks every BWT run head inside
+    covered regions (include/col_split.hpp:258-372) — produce the identical
+    table to the RLBWT path (differential-tested)."""
+    arr = (np.frombuffer(bwt, dtype=np.uint8) if isinstance(bwt, bytes)
+           else np.asarray(bwt, dtype=np.uint8))
+    # terminator normalization happens BEFORE run detection in the reference
+    # ctor (`if (c <= TERMINATOR) c = TERMINATOR` precedes the last_c compare)
+    heads, lens = rle(normalize_heads(arr))
+    return build_col_pml(heads, lens, split_pos, split_ids,
+                         thresholds_per_bwt_run)
+
+
 # ---------------------------------------------------------------------------
 # the query recurrence (col_pml::_query_pml, include/col_bwt.hpp:498-529)
 # ---------------------------------------------------------------------------

@@ -261,7 +261,8 @@ def build_pipeline(fastas: list[str], output: str,
 
 def query_pipeline(index_prefix: str, pattern_file: str,
                    cfg: ColBwtConfig | None = None,
-                   write_text: bool = False) -> tuple[list, list, list]:
+                   write_text: bool = False,
+                   write_text_long: bool = False) -> tuple[list, list, list]:
     """`col-bwt query` (scripts/col-bwt.py:191-198): batched device queries,
     outputs PATTERN.split.pml.bin/.split.cid.bin (+ optional .pml/.cid text,
     the src/pml_query.cpp:74-90 format)."""
@@ -413,6 +414,12 @@ def query_pipeline(index_prefix: str, pattern_file: str,
     if write_text:
         write_pml_cid_text(f"{pattern_file}.pml", f"{pattern_file}.cid",
                            names, pmls, cids)
+    if write_text_long:
+        # the -l streaming text mode (src/pml_query.cpp:126-128)
+        from colbwt_tpu.io.pml_out import write_pml_cid_text_long
+
+        write_pml_cid_text_long(f"{pattern_file}.pml", f"{pattern_file}.cid",
+                                names, pmls, cids)
     timer.end()
     logger.info("query complete in %.2fs (%.0f reads/s)",
                 timer.start_duration,

@@ -63,12 +63,19 @@ def main():
     n = text.size
     log(f"n = {n:,} over {args.docs} docs")
 
-    t = time.perf_counter()
-    sa = native.suffix_array_sais(ranks)
-    log(f"SA-IS: {time.perf_counter() - t:.1f}s")
-    t = time.perf_counter()
-    lcp = native.lcp_kasai(ranks, sa)
-    log(f"Kasai: {time.perf_counter() - t:.1f}s")
+    cache = Path("/tmp/cfg4_sa_cache.npz")
+    if cache.exists():
+        z = np.load(cache)
+        sa, lcp = z["sa"], z["lcp"]
+        log(f"SA+LCP loaded from {cache}")
+    else:
+        t = time.perf_counter()
+        sa = native.suffix_array_sais(ranks)
+        log(f"SA-IS: {time.perf_counter() - t:.1f}s")
+        t = time.perf_counter()
+        lcp = native.lcp_kasai(ranks, sa)
+        log(f"Kasai: {time.perf_counter() - t:.1f}s")
+        np.savez(cache, sa=sa, lcp=lcp.astype(np.int32))
     t = time.perf_counter()
     heads, lens = O.rle(O.bwt_from_sa(text, sa))
     fl = O.build_fl_table(heads, lens)

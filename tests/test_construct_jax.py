@@ -190,3 +190,52 @@ def test_multi_mums_planted_cores_high_n(rng):
     np.testing.assert_array_equal(pj, po)
     np.testing.assert_array_equal(lj, lo)
     assert sorted(lo.tolist()) == [25, 40]
+
+
+@pytest.mark.parametrize("chunk", [1 << 10, 777, 4096])
+def test_chunked_scan_equals_full(rng, chunk):
+    """The fixed-shape streamed scan (find_multi_mums_chunked) must equal the
+    one-shot device scan across chunk boundaries, including chunk sizes that
+    straddle MUM windows and a non-power-of-two chunk."""
+    base = bytes(rng.choice(list(b"ACGT"), 700).astype("uint8"))
+    docs = random_docs(rng, 12, mutate_from=base)
+    text, ranks, doc_ids = O.concat_collection(docs)
+    sa = O.suffix_array(ranks)
+    lcp = O.lcp_kasai(ranks, sa)
+    lo, po = CJ.find_multi_mums_jax(ranks, sa, lcp, doc_ids, 12, 5)
+
+    prev_rank = ranks[sa - 1]
+    sa_docs = doc_ids[sa].astype(np.int32)
+    run_change = np.ones(sa.shape[0], dtype=np.uint8)
+    run_change[1:] = prev_rank[1:] != prev_rank[:-1]
+    lc, pc = CJ.find_multi_mums_chunked(lcp, sa_docs, run_change, 12, 5,
+                                        chunk=chunk)
+    np.testing.assert_array_equal(pc, po)
+    np.testing.assert_array_equal(lc, lo)
+
+
+def test_chunked_scan_planted_cores(rng):
+    """Chunked scan on the high-N planted-core configuration (halo = 2N+2
+    exceeds the chunk fraction, windows straddle many chunk boundaries)."""
+    N = 150
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    core1 = rng.choice(ACGT, 40)
+    core2 = rng.choice(ACGT, 25)
+    docs = [np.concatenate([rng.choice(ACGT, 30), core1,
+                            rng.choice(ACGT, 20), core2,
+                            rng.choice(ACGT, 10)]).tobytes()
+            for _ in range(N)]
+    text, ranks, doc_ids = O.concat_collection(docs)
+    sa = O.suffix_array(ranks)
+    lcp = O.lcp_kasai(ranks, sa)
+    lo, po = O.find_multi_mums(ranks, sa, lcp, doc_ids, N, 8)
+
+    prev_rank = ranks[sa - 1]
+    sa_docs = doc_ids[sa].astype(np.int32)
+    run_change = np.ones(sa.shape[0], dtype=np.uint8)
+    run_change[1:] = prev_rank[1:] != prev_rank[:-1]
+    lc, pc = CJ.find_multi_mums_chunked(lcp, sa_docs, run_change, N, 8,
+                                        chunk=2048)
+    np.testing.assert_array_equal(pc, po)
+    np.testing.assert_array_equal(lc, lo)
+    assert sorted(lc.tolist()) == [25, 40]

@@ -146,3 +146,64 @@ def test_query_pipeline_forced_pos_with_fallback_reads(toy):
         ep, ec = O.query_pml_oracle(tbl, s)
         np.testing.assert_array_equal(pml, ep, err_msg=repr(s))
         np.testing.assert_array_equal(cid, ec, err_msg=repr(s))
+
+
+def test_long_text_output_format(toy):
+    """The -l streaming text mode (pml_direct_to_file, src/pml_query.cpp:32-63):
+    header and digits are written reversed, values in backward scan order,
+    then every line is flipped by `rev` — so the final line carries values in
+    forward order with the `>name ` header at the END of the line."""
+    from colbwt_tpu.io.pml_out import write_pml_cid_text_long
+
+    tmp, docs, reads = toy
+    pml = [np.array([3, 12, 7]), np.array([0, 145])]
+    cid = [np.array([0, 2, 2]), np.array([1, 0])]
+    write_pml_cid_text_long(tmp / "x.pml", tmp / "x.cid",
+                            ["read1", "r2"], pml, cid)
+    assert (tmp / "x.pml").read_text() == \
+        "\n3 12 7 >read1 \n\n0 145 >r2 \n"
+    assert (tmp / "x.cid").read_text() == \
+        "\n0 2 2 >read1 \n\n1 0 >r2 \n"
+
+
+def test_query_long_flag_through_cli(toy):
+    tmp, docs, reads = toy
+    out = str(tmp / "idxl")
+    cli_main(["build", "-o", out, "-l", "15",
+              str(tmp / "seq1.fa"), str(tmp / "seq2.fa")])
+    rc = cli_main(["query", out, "-p", str(tmp / "pattern.fa"),
+                   "--text", "--long"])
+    assert rc == 0
+    # values parsed from the -l format equal the binary outputs
+    names, pmls = read_pml_cid_binary(tmp / "pattern.fa.split.pml.bin")
+    text = (tmp / "pattern.fa.pml").read_text()
+    lines = text.split("\n")
+    # layout: ["", "<vals> >name ", "", "<vals> >name ", ..., ""]
+    for k, (name, pml) in enumerate(zip(names, pmls)):
+        line = lines[1 + 2 * k]
+        assert line.endswith(f">{name} ")
+        vals = [int(v) for v in line[: line.index(">")].split()]
+        np.testing.assert_array_equal(np.asarray(vals), pml)
+
+
+def test_plain_bwt_constructor_path(toy):
+    """build_col_pml_from_plain_bwt (the include/col_bwt.hpp:232-329 surface)
+    equals the RLBWT construction path on real artifacts."""
+    tmp, docs, reads = toy
+    out = str(tmp / "idxp")
+    cli_main(["build", "-o", out, "-l", "15", "--keep",
+              str(tmp / "seq1.fa"), str(tmp / "seq2.fa")])
+    heads, lens = F.read_rlbwt(tmp / "idxp.fa")
+    thr = F.read_thresholds_file(tmp / "idxp.fa.thr_pos")
+    bv = F.read_sdsl_bit_vector(tmp / "idxp.fa.col_runs")
+    ids = F.read_col_ids(tmp / "idxp.fa.col_ids")
+    bits = np.flatnonzero(bv)
+    ref = O.build_col_pml(heads, lens, bits, ids.astype(np.int64),
+                          thr.astype(np.int64))
+    bwt = (tmp / "idxp.fa.bwt").read_bytes()
+    alt = O.build_col_pml_from_plain_bwt(bwt, bits, ids.astype(np.int64),
+                                         thr.astype(np.int64))
+    assert alt.r == ref.r and alt.n == ref.n and alt.bwt_r == ref.bwt_r
+    for f in ("char", "idx", "length", "dest_interval", "dest_offset",
+              "col_id", "threshold"):
+        np.testing.assert_array_equal(getattr(alt, f), getattr(ref, f))
