@@ -58,6 +58,7 @@ class ColPmlIndex:
     r: int
     bwt_r: int
     ff_bound: int = 0  # max LF-image run span if the table was split (0 = unbounded)
+    wide_override: bool | None = None  # force the wide layout regardless of n
 
     @property
     def sigma(self) -> int:
@@ -66,12 +67,19 @@ class ColPmlIndex:
     @property
     def wide(self) -> bool:
         """True when n >= 2**31: idx/threshold are int64 and querying must go
-        through ops.query_mega_wide (split-word positions on device)."""
+        through ops.query_mega_wide (split-word positions on device).
+
+        ``wide_override`` forces the wide layout on a small index — the limb
+        arithmetic is exact at any n, so pipelines (and tests) can exercise
+        the full wide path end-to-end without a 2**31-character build."""
+        if self.wide_override is not None:
+            return self.wide_override
         return self.n > INT32_MAX
 
     # ------------------------------------------------------------------
     @classmethod
-    def from_table(cls, tbl: LFTableArrays, ff_bound: int = 0) -> "ColPmlIndex":
+    def from_table(cls, tbl: LFTableArrays, ff_bound: int = 0,
+                   wide: bool | None = None) -> "ColPmlIndex":
         """Build from the oracle's LF table (with col_id + threshold).
 
         Pass ff_bound=K when `tbl` was produced by ops.run_split with bound K
@@ -82,9 +90,11 @@ class ColPmlIndex:
         threshold stay int64 host-side (`.wide` becomes True) and querying
         goes through ops.query_mega_wide, which carries positions as two
         int32 limbs on device; run-valued fields remain int32 (r < 2**31,
-        matching the reference's RUN_BYTES=4)."""
+        matching the reference's RUN_BYTES=4).  ``wide=True`` forces the
+        wide layout at any n."""
         r = tbl.r
-        wide = tbl.n > INT32_MAX
+        wide_override = wide
+        wide = tbl.n > INT32_MAX if wide is None else wide
         pos_dtype = np.int64 if wide else np.int32
         heads = np.asarray(tbl.char, dtype=np.uint8)
         alphabet = np.unique(heads)
@@ -127,26 +137,28 @@ class ColPmlIndex:
             n=int(tbl.n), r=int(r),
             bwt_r=int(tbl.bwt_r) if tbl.bwt_r is not None else int(r),
             ff_bound=int(ff_bound),
+            wide_override=wide_override,
         )
 
     @classmethod
-    def build(cls, tbl: LFTableArrays, ff_bound: int = 4) -> "ColPmlIndex":
+    def build(cls, tbl: LFTableArrays, ff_bound: int = 4,
+              wide: bool | None = None) -> "ColPmlIndex":
         """from_table + run splitting so the LF fast-forward is statically
         bounded (ops.run_split; Movi-style splitting [inferred]).
 
         The recorded bound is the *achieved* maximum LF-image span, which can
         exceed the requested ff_bound on self-overlapping repeat runs — the
-        engines unroll to whatever is recorded.  Wide tables (n >= 2**31)
-        additionally get their run lengths capped so offsets fit one int32
-        limb."""
+        engines unroll to whatever is recorded.  Wide tables (n >= 2**31, or
+        ``wide=True``) additionally get their run lengths capped so offsets
+        fit one int32 limb."""
         from colbwt_tpu.ops.run_split import (max_ff_span,
                                               split_runs_bounded_ff,
                                               split_runs_max_len)
-        if tbl.n > INT32_MAX:
+        if tbl.n > INT32_MAX or wide:
             tbl = split_runs_max_len(tbl, MAX_WIDE_RUN_LEN)
         split = split_runs_bounded_ff(tbl, ff_bound)
         achieved = max(ff_bound, max_ff_span(split))
-        return cls.from_table(split, ff_bound=achieved)
+        return cls.from_table(split, ff_bound=achieved, wide=wide)
 
     # ------------------------------------------------------------------
     def encode_patterns(self, patterns: list[bytes], max_len: int | None = None
@@ -182,7 +194,9 @@ class ColPmlIndex:
             col_id=self.col_id, threshold=self.threshold,
             pred_jump=self.pred_jump, succ_jump=self.succ_jump,
             alphabet=self.alphabet, char_map=self.char_map,
-            meta=np.array([self.n, self.r, self.bwt_r, self.ff_bound],
+            meta=np.array([self.n, self.r, self.bwt_r, self.ff_bound,
+                           -1 if self.wide_override is None
+                           else int(self.wide_override)],
                           dtype=np.int64),
         )
 
@@ -192,6 +206,7 @@ class ColPmlIndex:
         meta = [int(v) for v in z["meta"]]
         n, r, bwt_r = meta[:3]
         ff = meta[3] if len(meta) > 3 else 0
+        wo = meta[4] if len(meta) > 4 else -1
         return cls(
             char=z["char"], idx=z["idx"], length=z["length"],
             dest_interval=z["dest_interval"], dest_offset=z["dest_offset"],
@@ -199,6 +214,7 @@ class ColPmlIndex:
             pred_jump=z["pred_jump"], succ_jump=z["succ_jump"],
             alphabet=z["alphabet"], char_map=z["char_map"],
             n=n, r=r, bwt_r=bwt_r, ff_bound=ff,
+            wide_override=None if wo < 0 else bool(wo),
         )
 
     def nbytes(self) -> int:

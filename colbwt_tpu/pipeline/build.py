@@ -213,7 +213,7 @@ def stage_index(prefix: str, cfg: ColBwtConfig, logger):
         # bound, so skip the O(rounds * r log r) splitting when pos tables
         # are viable for this index.  Wide tables always split (run-length
         # cap for the int32-limb layout).
-        wide = tbl.n > 2**31 - 1
+        wide = tbl.n > cfg.wide_n_limit
         sigma = int(np.unique(O.normalize_heads(tbl.char)).size)
         pos_viable = (not wide and tbl.n < 2**28
                       and (sigma + 1) * tbl.n * 8 <= cfg.pos_hbm_budget)
@@ -221,7 +221,9 @@ def stage_index(prefix: str, cfg: ColBwtConfig, logger):
                  or (cfg.run_split == "auto" and not pos_viable))
         if split:
             with status("run splitting", logger):
-                index = ColPmlIndex.build(tbl, ff_bound=cfg.ff_bound)
+                # the wide engine is mega-row based: needs ff_bound >= 2
+                ffb = max(cfg.ff_bound, 2) if wide else cfg.ff_bound
+                index = ColPmlIndex.build(tbl, ff_bound=ffb, wide=wide or None)
         else:
             logger.info("[index] pos engine viable: skipping run splitting")
             index = ColPmlIndex.from_table(tbl)
@@ -300,13 +302,25 @@ def query_pipeline(index_prefix: str, pattern_file: str,
         if kq >= pos_k:
             pos_k, pos_alpha = kq, b"ACGT"
     use_pos = pos_k >= 1 and (cfg.engine == "pos" or total_chars >= 1_000_000)
-    use_mega = (not use_pos and index.ff_bound >= 2
+    # wide indexes (n >= 2**31, include/ds/LF_table.hpp:36-39 budget) carry
+    # positions as two int32 limbs: route through ops.query_mega_wide
+    # (stage_index guarantees ff_bound >= 2 for wide builds)
+    use_wide = index.wide
+    if use_wide and index.ff_bound < 2:
+        raise ValueError("wide index lacks run splitting (ff_bound < 2); "
+                         "rebuild with ColPmlIndex.build")
+    use_mega = (not use_pos and not use_wide and index.ff_bound >= 2
                 and cfg.engine in ("auto", "mega"))
-    use_fused = (not use_pos and not use_mega and index.ff_bound >= 1
-                 and cfg.engine in ("auto", "fused"))
+    use_fused = (not use_pos and not use_wide and not use_mega
+                 and index.ff_bound >= 1 and cfg.engine in ("auto", "fused"))
     pt = (query_pos.build_pos_tables(index, pos_k, alphabet=pos_alpha)
           if use_pos else None)
-    mt = query_mega.build_mega_table(index) if use_mega else None
+    if use_wide:
+        from colbwt_tpu.ops import query_mega_wide
+
+        mt = query_mega_wide.build_mega_table_wide(index)
+    else:
+        mt = query_mega.build_mega_table(index) if use_mega else None
     ft = None
     if use_fused:
         from colbwt_tpu.ops import query_fused
@@ -314,6 +328,7 @@ def query_pipeline(index_prefix: str, pattern_file: str,
         ft = query_fused.build_fused_tables(index)
     logger.info("engine: %s",
                 f"pos(k={pos_k})" if use_pos else
+                "mega-wide" if use_wide else
                 "mega" if use_mega else "fused" if use_fused else "xla")
 
     def dispatch_batch(batch: list[bytes], padded: int):
@@ -346,7 +361,12 @@ def query_pipeline(index_prefix: str, pattern_file: str,
             return p, c, lens, None
         enc, lens = index.encode_patterns(batch, padded)
         ej, lj = device_put_chunked(enc), jnp.asarray(lens)
-        if use_mega:
+        if use_wide:
+            from colbwt_tpu.ops import query_mega_wide
+
+            p, c = query_mega_wide.query_batch_mega_wide(
+                mt, ej, lj, ff_bound=index.ff_bound)
+        elif use_mega:
             p, c = query_mega.query_batch_mega(mt, ej, lj,
                                                ff_bound=index.ff_bound)
         elif use_fused:
@@ -369,7 +389,7 @@ def query_pipeline(index_prefix: str, pattern_file: str,
     long_idxs: list[int] = []
     for i, rd in enumerate(reads):
         m = max(1, len(rd))
-        if (use_pos or use_mega) and m > cfg.long_read_len:
+        if (use_pos or use_mega or use_wide) and m > cfg.long_read_len:
             long_idxs.append(i)
             continue
         padded = 1 << (m - 1).bit_length()
@@ -401,6 +421,12 @@ def query_pipeline(index_prefix: str, pattern_file: str,
             p, c = query_pos.query_long_reads(
                 index, [reads[i] for i in chunk], chunk=cfg.long_read_chunk,
                 pt=pt)
+        elif use_wide:
+            from colbwt_tpu.ops import query_mega_wide
+
+            p, c = query_mega_wide.query_long_reads(
+                index, [reads[i] for i in chunk], chunk=cfg.long_read_chunk,
+                mt=mt)
         else:
             p, c = query_mega.query_long_reads(
                 index, [reads[i] for i in chunk], chunk=cfg.long_read_chunk,

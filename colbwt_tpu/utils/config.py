@@ -64,6 +64,10 @@ class ColBwtConfig:
                                   # cutting minutes off multi-Mbp builds
     long_read_len: int = 1024     # reads longer than this stream in chunks
     long_read_chunk: int = 2048
+    wide_n_limit: int = 2**31 - 1  # n above this uses the wide (two-limb)
+                                  # index layout + ops.query_mega_wide; lower
+                                  # it to force the wide path on small builds
+                                  # (pipeline tests do)
 
     # --- parallel knobs (new; reference is single-node: SURVEY §2.3) ---
     dp: int = 1                   # data-parallel (read-sharded) mesh axis

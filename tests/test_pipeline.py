@@ -186,6 +186,43 @@ def test_query_long_flag_through_cli(toy):
         np.testing.assert_array_equal(np.asarray(vals), pml)
 
 
+def test_wide_pipeline_end_to_end(toy):
+    """Lowering cfg.wide_n_limit forces the full wide path — int64 fields,
+    run-length capping, ff>=2 run splitting, and query routing through
+    ops.query_mega_wide (the n >= 2**31 lane, include/ds/LF_table.hpp:36-39)
+    — on a toy build, end to end.  Limb arithmetic is exact at any n, so the
+    outputs must equal the oracle bit for bit."""
+    from colbwt_tpu.models.index import ColPmlIndex
+    from colbwt_tpu.pipeline import build_pipeline, query_pipeline
+    from colbwt_tpu.utils.config import ColBwtConfig
+
+    tmp, docs, reads = toy
+    cfg = ColBwtConfig(min_mum=15, wide_n_limit=100)
+    build_pipeline([str(tmp / "seq1.fa"), str(tmp / "seq2.fa")],
+                   str(tmp / "widx"), cfg)
+    index = ColPmlIndex.load(str(tmp / "widx.colpml.npz"))
+    assert index.wide and index.wide_override is True
+    assert index.idx.dtype == np.int64 and index.ff_bound >= 2
+    # mixed short reads + one long read (exercises the wide long-read path)
+    mixed = [r.seq for r in reads[:6]] + [docs[0][:380]]
+    write_fasta(tmp / "wmix.fa",
+                [FastaRecord(f"w{i}", s) for i, s in enumerate(mixed)])
+    qcfg = ColBwtConfig(wide_n_limit=100, long_read_len=128)
+    _, pmls, cids = query_pipeline(str(tmp / "widx"), str(tmp / "wmix.fa"),
+                                   qcfg)
+
+    heads, lens = F.read_rlbwt(tmp / "widx.fa")
+    thr = F.read_thresholds_file(tmp / "widx.fa.thr_pos")
+    bv = F.read_sdsl_bit_vector(tmp / "widx.fa.col_runs")
+    ids = F.read_col_ids(tmp / "widx.fa.col_ids")
+    tbl = O.build_col_pml(heads, lens, np.flatnonzero(bv),
+                          ids.astype(np.int64), thr.astype(np.int64))
+    for s, pml, cid in zip(mixed, pmls, cids):
+        ep, ec = O.query_pml_oracle(tbl, s)
+        np.testing.assert_array_equal(pml, ep, err_msg=repr(s))
+        np.testing.assert_array_equal(cid, ec, err_msg=repr(s))
+
+
 def test_plain_bwt_constructor_path(toy):
     """build_col_pml_from_plain_bwt (the include/col_bwt.hpp:232-329 surface)
     equals the RLBWT construction path on real artifacts."""
