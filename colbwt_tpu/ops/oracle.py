@@ -443,6 +443,62 @@ def compute_thresholds(heads: np.ndarray, lens: np.ndarray, lcp: np.ndarray
     return thresholds
 
 
+def compute_thresholds_fast(heads: np.ndarray, lens: np.ndarray,
+                            lcp: np.ndarray) -> np.ndarray:
+    """Vectorized host thresholds, same contract as compute_thresholds.
+
+    Segments for one character are disjoint and ascending in rank space, so
+    each per-char batch is a single np.minimum.reduceat over keys packing
+    (lcp, position) — the minimum key is (min lcp, first position of it),
+    exactly np.argmin's tie-break.  O(n·sigma) streaming host work and O(n)
+    extra memory: this is the wide-n (n >= 2**31) lane, where the device
+    version's n-sized HBM arrays don't fit (ops.construct_jax notes)."""
+    heads = normalize_heads(heads)
+    lens = np.asarray(lens, dtype=np.int64)
+    r = heads.size
+    starts = np.zeros(r, dtype=np.int64)
+    if r > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    ends = starts + lens - 1
+    n = int(lens.sum())
+    thresholds = np.zeros(r, dtype=np.int64)
+    if n == 0 or r == 0:
+        return thresholds
+
+    pos_bits = max(int(n - 1).bit_length(), 1)
+    cap = (1 << (63 - pos_bits)) - 1  # lcp budget left in the packed key
+    lcp64 = np.asarray(lcp, dtype=np.int64)
+    clamped = int(lcp64.max(initial=0)) > cap
+    packed = (np.minimum(lcp64, cap) if clamped else lcp64) << pos_bits
+    # += arange(n) in bounded chunks (a full int64 iota is 8n bytes)
+    step = 1 << 28
+    for s in range(0, n, step):
+        packed[s:s + step] += np.arange(s, min(s + step, n), dtype=np.int64)
+    pos_mask = (1 << pos_bits) - 1
+
+    for c in np.unique(heads):
+        runs_c = np.flatnonzero(heads == c)
+        if runs_c.size < 2:
+            continue
+        # segment s: ranks (ends[runs_c[s]], starts[runs_c[s+1]]] inclusive
+        lo = ends[runs_c[:-1]] + 1
+        hi = starts[runs_c[1:]]
+        bounds = np.empty(2 * lo.size, dtype=np.int64)
+        bounds[0::2] = lo
+        bounds[1::2] = hi + 1
+        if bounds[-1] == n:  # reduceat's final slice already runs to the end
+            bounds = bounds[:-1]
+        red = np.minimum.reduceat(packed, bounds)[0::2]
+        arg = red & pos_mask
+        if clamped:  # exact re-fix where clamping could hide the true argmin
+            sus = np.flatnonzero((red >> pos_bits) >= cap)
+            for s in sus:
+                seg = lcp64[lo[s]:hi[s] + 1]
+                arg[s] = lo[s] + int(np.argmin(seg))
+        thresholds[runs_c[1:]] = arg
+    return thresholds
+
+
 # ---------------------------------------------------------------------------
 # col_split (include/col_split.hpp — THE core construction algorithm)
 # ---------------------------------------------------------------------------

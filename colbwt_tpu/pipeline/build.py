@@ -109,11 +109,10 @@ def stage_mums(docs: list[bytes], prefix: str, cfg: ColBwtConfig, logger):
                 ml, mp = O.find_multi_mums(
                     ranks, sa, lcp, doc_ids, len(docs), cfg.min_mum)
         with status("thresholds", logger):
-            if use_device:
-                from colbwt_tpu.ops import construct_jax as CJ
-                thr = CJ.compute_thresholds_jax(heads, lens, lcp)
-            else:
-                thr = O.compute_thresholds(heads, lens, lcp)
+            # packed-reduceat host path: O(n) memory, streams at any n
+            # (the device version's n-sized HBM arrays cap out near 2**31)
+            thr = (O.compute_thresholds_fast(heads, lens, lcp) if use_device
+                   else O.compute_thresholds(heads, lens, lcp))
 
         F.write_rlbwt(fa, heads, lens, cfg.rw_bytes)
         F.write_thresholds_file(f"{fa}.thr_pos", thr, cfg.rw_bytes)
@@ -153,8 +152,22 @@ def stage_colsplit(prefix: str, cfg: ColBwtConfig, logger):
         heads, lens = F.read_rlbwt(fa, cfg.rw_bytes)
         num_docs, ml, mp = F.read_col_mums(f"{fa}.col_mums", cfg.rw_bytes)
         fl = O.build_fl_table(heads, lens)
+        wide = fl.n > min(cfg.wide_n_limit, 2**31 - 1)
+        tunneled = cfg.mode.value in ("tunnels", "tunneled")
         with status("col-split FL walk", logger):
-            if fl.n >= _DEVICE_MIN_N or ml.size > 256:
+            if wide and tunneled:
+                # device walker positions are int32; the host int64 walk
+                # covers the n >= 2**31 lane
+                from colbwt_tpu.ops.colsplit_jax import col_split_tunneled_numpy
+                mpos, mids, mhts = col_split_tunneled_numpy(
+                    fl, ml, mp, num_docs, cfg.split_rate, cfg.id_bits)
+            elif wide:
+                logger.warning("[colsplit] All mode at n >= 2**31 runs on "
+                               "the host oracle (slow for many MUMs)")
+                mpos, mids, mhts = O.col_split_oracle(
+                    fl, ml, mp, num_docs, cfg.split_rate, cfg.mode.value,
+                    cfg.id_bits)
+            elif fl.n >= _DEVICE_MIN_N or ml.size > 256:
                 from colbwt_tpu.ops.colsplit_jax import col_split_jax
                 mpos, mids, mhts = col_split_jax(
                     fl, ml, mp, num_docs, cfg.split_rate, cfg.mode.value,

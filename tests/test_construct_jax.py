@@ -64,6 +64,22 @@ def test_thresholds_device_matches_oracle(rng):
         thr_o = O.compute_thresholds(heads, lens, lcp)
         thr_j = CJ.compute_thresholds_jax(heads, lens, lcp)
         np.testing.assert_array_equal(thr_j, thr_o)
+        thr_f = O.compute_thresholds_fast(heads, lens, lcp)
+        np.testing.assert_array_equal(thr_f, thr_o)
+
+
+def test_thresholds_fast_clamped_lcp(rng):
+    """compute_thresholds_fast clamps LCP values that overflow the packed
+    key's value bits and re-fixes those segments exactly — force it with
+    artificial huge LCPs."""
+    heads = np.array([65, 66, 65, 66, 65], dtype=np.uint8)
+    lens = np.array([2, 3, 2, 1, 2], dtype=np.int64)
+    n = int(lens.sum())
+    for trial in range(8):
+        lcp = rng.integers(0, 2**62, size=n).astype(np.int64)
+        thr_o = O.compute_thresholds(heads, lens, lcp)
+        thr_f = O.compute_thresholds_fast(heads, lens, lcp)
+        np.testing.assert_array_equal(thr_f, thr_o)
 
 
 @pytest.mark.parametrize("mode,rate", [("tunnels", 1), ("tunnels", 3),
@@ -80,6 +96,12 @@ def test_colsplit_device_matches_oracle(rng, mode, rate):
     np.testing.assert_array_equal(pj, po, err_msg="mark positions")
     np.testing.assert_array_equal(hj, ho, err_msg="mark heights")
     np.testing.assert_array_equal(ij, io_, err_msg="mark ids")
+    if mode == "tunnels":
+        # the host int64 walker (wide-n lane) matches too
+        pn, in_, hn = CS.col_split_tunneled_numpy(fl, ml, mp, 3, rate)
+        np.testing.assert_array_equal(pn, po)
+        np.testing.assert_array_equal(in_, io_)
+        np.testing.assert_array_equal(hn, ho)
 
 
 def test_colsplit_all_mode_large_n(rng):
