@@ -49,12 +49,19 @@ def _build(args: argparse.Namespace) -> int:
 
 
 def _query(args: argparse.Namespace) -> int:
-    from colbwt_tpu.pipeline import query_pipeline
+    from colbwt_tpu.pipeline import query_pipeline, query_stream
 
     cfg = ColBwtConfig(verbose=args.verbose)
-    query_pipeline(args.index, args.pattern, cfg,
-                   write_text=args.text and not args.long,
-                   write_text_long=args.text and args.long)
+    if args.stream:
+        if args.text:
+            print("Error: --stream writes binary outputs only.",
+                  file=sys.stderr)
+            return 1
+        query_stream(args.index, args.pattern, cfg)
+    else:
+        query_pipeline(args.index, args.pattern, cfg,
+                       write_text=args.text and not args.long,
+                       write_text_long=args.text and args.long)
     print(f"Output at {args.pattern}.split.pml.bin and "
           f"{args.pattern}.split.cid.bin")
     return 0
@@ -101,6 +108,9 @@ def main(argv: list[str] | None = None) -> int:
                         "reference's -l streaming text format "
                         "(src/pml_query.cpp:32-63)")
     q.add_argument("-v", "--verbose", action="store_true")
+    q.add_argument("--stream", action="store_true",
+                   help="bounded-memory streaming mode for huge pattern "
+                        "files (binary outputs only)")
 
     args = parser.parse_args(argv)
     if args.command in ("build", "query"):

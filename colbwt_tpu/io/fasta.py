@@ -83,6 +83,52 @@ def read_fasta(path: str | Path) -> Iterator[FastaRecord]:
             yield FastaRecord(name, b"".join(chunks))
 
 
+def stream_fasta(path: str | Path, chunk_bytes: int = 32 << 20
+                 ) -> Iterator[FastaRecord]:
+    """Bounded-memory FASTA streaming: parse the file in ~chunk_bytes slabs
+    (native C++ parser per slab when built), never holding more than one slab
+    of input.  Functionally identical to read_fasta; this is the reader for
+    100M-read query streams, where read_fasta's native path would load the
+    whole pattern file (SURVEY §2.2: klib/kseq streams — so do we)."""
+    p = Path(path)
+    use_native = False
+    if p.suffix not in (".gz", ".fastq", ".fq") and p.exists():
+        try:
+            from colbwt_tpu.io import native
+
+            use_native = (native.available()
+                          and p.open("rb").read(1) == b">")
+        except Exception:
+            use_native = False
+    if not use_native:
+        yield from read_fasta(path)
+        return
+    from colbwt_tpu.io import native
+
+    with p.open("rb") as fh:
+        carry = b""
+        while True:
+            slab = fh.read(chunk_bytes)
+            data = carry + slab
+            if not data:
+                return
+            if slab:
+                # hold back the trailing partial record ('>' starts one only
+                # at the beginning of a line)
+                cut = data.rfind(b"\n>")
+                if cut < 0:
+                    carry = data
+                    continue
+                carry = data[cut + 1:]
+                data = data[:cut + 1]
+            else:
+                carry = b""
+            for name, seq in native.parse_fasta_bytes(data):
+                yield FastaRecord(name, seq)
+            if not slab:
+                return
+
+
 def write_fasta(path: str | Path, records: list[FastaRecord], width: int = 60) -> None:
     with Path(path).open("wb") as fh:
         for rec in records:

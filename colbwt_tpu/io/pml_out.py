@@ -73,15 +73,17 @@ def write_pml_cid_text_long(pml_path: str | Path, cid_path: str | Path,
     Path(cid_path).write_text(rev_lines(rev_content(cids)))
 
 
+def _record_bytes(name: str, arr: np.ndarray) -> bytes:
+    nb = name.encode()
+    return (struct.pack("<H", len(nb)) + nb + struct.pack("<Q", arr.size)
+            + np.clip(np.asarray(arr), 0, 0xFFFF).astype("<u2").tobytes())
+
+
 def _write_binary_one(path: str | Path, names: list[str],
                       arrays: list[np.ndarray]) -> None:
     with Path(path).open("wb") as fh:
         for name, arr in zip(names, arrays):
-            nb = name.encode()
-            fh.write(struct.pack("<H", len(nb)))
-            fh.write(nb)
-            fh.write(struct.pack("<Q", arr.size))
-            fh.write(np.clip(np.asarray(arr), 0, 0xFFFF).astype("<u2").tobytes())
+            fh.write(_record_bytes(name, arr))
 
 
 def write_pml_cid_binary(pml_path: str | Path, cid_path: str | Path,
@@ -89,6 +91,35 @@ def write_pml_cid_binary(pml_path: str | Path, cid_path: str | Path,
                          pmls: list[np.ndarray], cids: list[np.ndarray]) -> None:
     _write_binary_one(pml_path, names, pmls)
     _write_binary_one(cid_path, names, cids)
+
+
+class PmlCidBinaryWriter:
+    """Incremental writer for the .split.pml.bin/.split.cid.bin pair —
+    byte-identical to write_pml_cid_binary, but records append as batches
+    finish, so 100M-read streaming runs hold no outputs in memory
+    (the reference streams one read at a time, src/pml_query.cpp:73-86)."""
+
+    def __init__(self, pml_path: str | Path, cid_path: str | Path):
+        self._pml = Path(pml_path).open("wb")
+        self._cid = Path(cid_path).open("wb")
+        self.records = 0
+
+    def append(self, names: list[str], pmls: list[np.ndarray],
+               cids: list[np.ndarray]) -> None:
+        for name, p, c in zip(names, pmls, cids):
+            self._pml.write(_record_bytes(name, p))
+            self._cid.write(_record_bytes(name, c))
+            self.records += 1
+
+    def close(self) -> None:
+        self._pml.close()
+        self._cid.close()
+
+    def __enter__(self) -> "PmlCidBinaryWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def read_pml_cid_binary(path: str | Path) -> tuple[list[str], list[np.ndarray]]:

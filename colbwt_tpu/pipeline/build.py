@@ -281,7 +281,7 @@ def query_pipeline(index_prefix: str, pattern_file: str,
     """`col-bwt query` (scripts/col-bwt.py:191-198): batched device queries,
     outputs PATTERN.split.pml.bin/.split.cid.bin (+ optional .pml/.cid text,
     the src/pml_query.cpp:74-90 format)."""
-    from colbwt_tpu.ops import query_mega, query_xla
+    from colbwt_tpu.pipeline.engines import QueryEngines
 
     cfg = cfg or ColBwtConfig()
     logger = get_logger("colbwt.query", cfg.verbose)
@@ -295,103 +295,9 @@ def query_pipeline(index_prefix: str, pattern_file: str,
         reads.append(rec.seq.upper())
     logger.info("querying %d reads against r=%d index", len(reads), index.r)
 
-    from colbwt_tpu.ops import query_pos
-
-    # engine ladder (fastest first): positional automaton (k chars/gather,
-    # needs (sigma+1)**k * n * 8 B of HBM) > mega (1 gather/char, needs a
-    # k=2 run-split index) > fused > compact xla.  The pos tables cost
-    # O(A^k n) device work to build, so under "auto" they only pay off for
-    # real workloads — tiny queries skip straight to the table-free engines
-    # (engine="pos" forces them regardless).
     total_chars = sum(len(rd) for rd in reads)
-    pos_k = (query_pos.choose_k(index, cfg.pos_hbm_budget)
-             if (not index.wide and cfg.engine in ("auto", "pos")) else 0)
-    # DNA collections: ACGT-restricted keys reach the same or higher k at
-    # 1/(A/4)^k the memory; non-ACGT reads reroute through the kept general
-    # k=1 table, so the restriction is always exact.
-    pos_alpha = None
-    if pos_k >= 1 and set(index.alphabet.tolist()) - {1} <= set(b"ACGT"):
-        kq = query_pos.choose_k(index, cfg.pos_hbm_budget, alphabet=b"ACGT")
-        if kq >= pos_k:
-            pos_k, pos_alpha = kq, b"ACGT"
-    use_pos = pos_k >= 1 and (cfg.engine == "pos" or total_chars >= 1_000_000)
-    # wide indexes (n >= 2**31, include/ds/LF_table.hpp:36-39 budget) carry
-    # positions as two int32 limbs: route through ops.query_mega_wide
-    # (stage_index guarantees ff_bound >= 2 for wide builds)
-    use_wide = index.wide
-    if use_wide and index.ff_bound < 2:
-        raise ValueError("wide index lacks run splitting (ff_bound < 2); "
-                         "rebuild with ColPmlIndex.build")
-    use_mega = (not use_pos and not use_wide and index.ff_bound >= 2
-                and cfg.engine in ("auto", "mega"))
-    use_fused = (not use_pos and not use_wide and not use_mega
-                 and index.ff_bound >= 1 and cfg.engine in ("auto", "fused"))
-    pt = (query_pos.build_pos_tables(index, pos_k, alphabet=pos_alpha)
-          if use_pos else None)
-    if use_wide:
-        from colbwt_tpu.ops import query_mega_wide
-
-        mt = query_mega_wide.build_mega_table_wide(index)
-    else:
-        mt = query_mega.build_mega_table(index) if use_mega else None
-    ft = None
-    if use_fused:
-        from colbwt_tpu.ops import query_fused
-
-        ft = query_fused.build_fused_tables(index)
-    logger.info("engine: %s",
-                f"pos(k={pos_k})" if use_pos else
-                "mega-wide" if use_wide else
-                "mega" if use_mega else "fused" if use_fused else "xla")
-
-    def dispatch_batch(batch: list[bytes], padded: int):
-        """Enqueue one device batch without blocking (JAX async dispatch);
-        returns (device_pml, device_cid, lens) to materialize later —
-        back-to-back batches overlap host transfer with device compute."""
-        import jax.numpy as jnp
-
-        from colbwt_tpu.utils.xfer import device_put_chunked
-
-        if use_pos:
-            padded = -(-padded // pos_k) * pos_k  # key folding needs M % k == 0
-            dig, lens, bad = query_pos._encode_digits(index, pt, batch, padded)
-            ej, lj = device_put_chunked(dig), jnp.asarray(lens)
-            p, c = query_pos.query_batch_pos(pt["table"], pt["n"], ej, lj,
-                                             k=pos_k, A=pt["A"])
-            if bad.any():  # reads with non-key bytes: general k=1 fallback
-                idxs = np.flatnonzero(bad)
-                e2, l2 = index.encode_patterns([batch[i] for i in idxs], padded)
-                if pt["t1"] is not None:
-                    p2, c2 = query_pos.query_batch_pos(
-                        pt["t1"], pt["n"], jnp.asarray(e2), jnp.asarray(l2),
-                        k=1, A=pt["A_full"])
-                else:  # general T1 doesn't fit HBM: compact engine
-                    tb = query_xla.index_device_arrays(index)
-                    p2, c2 = query_xla.query_batch_device(
-                        tb, jnp.asarray(e2), jnp.asarray(l2),
-                        ff_bound=index.ff_bound)
-                return p, c, lens, (idxs, p2, c2)
-            return p, c, lens, None
-        enc, lens = index.encode_patterns(batch, padded)
-        ej, lj = device_put_chunked(enc), jnp.asarray(lens)
-        if use_wide:
-            from colbwt_tpu.ops import query_mega_wide
-
-            p, c = query_mega_wide.query_batch_mega_wide(
-                mt, ej, lj, ff_bound=index.ff_bound)
-        elif use_mega:
-            p, c = query_mega.query_batch_mega(mt, ej, lj,
-                                               ff_bound=index.ff_bound)
-        elif use_fused:
-            from colbwt_tpu.ops import query_fused
-
-            p, c = query_fused.query_batch_fused(ft, ej, lj,
-                                                 ff_bound=index.ff_bound)
-        else:
-            tb = query_xla.index_device_arrays(index)
-            p, c = query_xla.query_batch_device(tb, ej, lj,
-                                                ff_bound=index.ff_bound)
-        return p, c, lens, None
+    eng = QueryEngines(index, cfg, total_chars)
+    logger.info("engine: %s", eng.name)
 
     # bucket by padded length to bound recompilation while avoiding wasted
     # steps; long reads stream in chunks with carried state (the -l mode,
@@ -402,7 +308,7 @@ def query_pipeline(index_prefix: str, pattern_file: str,
     long_idxs: list[int] = []
     for i, rd in enumerate(reads):
         m = max(1, len(rd))
-        if (use_pos or use_mega or use_wide) and m > cfg.long_read_len:
+        if eng.supports_long_streaming() and m > cfg.long_read_len:
             long_idxs.append(i)
             continue
         padded = 1 << (m - 1).bit_length()
@@ -413,37 +319,17 @@ def query_pipeline(index_prefix: str, pattern_file: str,
         for off in range(0, len(idxs), cfg.batch_size):
             chunk = idxs[off:off + cfg.batch_size]
             pending.append(
-                (chunk, padded, dispatch_batch([reads[i] for i in chunk],
-                                               padded)))
-    for chunk, padded, (p_dev, c_dev, lens, fallback) in pending:
-        p = np.asarray(p_dev)
-        c = np.asarray(c_dev)
-        if fallback is not None:  # splice rerouted non-key-byte reads back in
-            idxs, p2_dev, c2_dev = fallback
-            p, c = np.array(p), np.array(c)  # asarray views are read-only
-            p[idxs] = np.asarray(p2_dev)
-            c[idxs] = np.asarray(c2_dev)
-        width = p.shape[1]  # may exceed `padded` (pos engine pads to k-multiple)
+                (chunk, eng.dispatch([reads[i] for i in chunk], padded)))
+    for chunk, result in pending:
+        p, c, lens = QueryEngines.materialize(result)
+        width = p.shape[1]  # may exceed the bucket (pos pads to k-multiple)
         for j, i in enumerate(chunk):
             m = int(lens[j])
             pmls[i] = p[j, width - m:]
             cids[i] = c[j, width - m:]
     for off in range(0, len(long_idxs), max(1, cfg.batch_size // 16)):
         chunk = long_idxs[off:off + max(1, cfg.batch_size // 16)]
-        if use_pos:
-            p, c = query_pos.query_long_reads(
-                index, [reads[i] for i in chunk], chunk=cfg.long_read_chunk,
-                pt=pt)
-        elif use_wide:
-            from colbwt_tpu.ops import query_mega_wide
-
-            p, c = query_mega_wide.query_long_reads(
-                index, [reads[i] for i in chunk], chunk=cfg.long_read_chunk,
-                mt=mt)
-        else:
-            p, c = query_mega.query_long_reads(
-                index, [reads[i] for i in chunk], chunk=cfg.long_read_chunk,
-                mt=mt)
+        p, c = eng.query_long_reads([reads[i] for i in chunk])
         for j, i in enumerate(chunk):
             pmls[i] = p[j]
             cids[i] = c[j]

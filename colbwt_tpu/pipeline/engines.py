@@ -1,0 +1,182 @@
+"""Query-engine selection and batch dispatch, shared by the one-shot
+(`query_pipeline`) and streaming (`query_stream`) drivers.
+
+Engine ladder (fastest first; docs/DESIGN_NOTES.md):
+
+- positional automaton (k chars per gather; needs (sigma+1)**k * n * 8 B HBM)
+- mega-wide (wide indexes, n >= 2**31: two-limb positions, 1 gather/char)
+- mega (1 gather/char; needs a run-split index, ff_bound >= 2)
+- fused (K+1 gathers/char; ff_bound >= 1)
+- compact xla (table-free fallback)
+
+All engines produce bit-identical PML+CID (col_pml::_query_pml semantics,
+include/col_bwt.hpp:498-574), differential-tested against the NumPy oracle
+and the single-core C++ engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from colbwt_tpu.models.index import ColPmlIndex
+from colbwt_tpu.utils.config import ColBwtConfig
+
+
+class QueryEngines:
+    """Owns the device tables for one index and dispatches read batches."""
+
+    def __init__(self, index: ColPmlIndex, cfg: ColBwtConfig,
+                 total_chars: int | None = None):
+        from colbwt_tpu.ops import query_mega, query_pos
+
+        self.index = index
+        self.cfg = cfg
+        # The pos tables cost O(A^k n) device work to build, so under "auto"
+        # they only pay off for real workloads; total_chars=None means "the
+        # workload is large/unbounded" (streaming drivers).
+        large = total_chars is None or total_chars >= 1_000_000
+        pos_k = (query_pos.choose_k(index, cfg.pos_hbm_budget)
+                 if (not index.wide and cfg.engine in ("auto", "pos")) else 0)
+        pos_alpha = None
+        if pos_k >= 1 and set(index.alphabet.tolist()) - {1} <= set(b"ACGT"):
+            kq = query_pos.choose_k(index, cfg.pos_hbm_budget, alphabet=b"ACGT")
+            if kq >= pos_k:
+                pos_k, pos_alpha = kq, b"ACGT"
+        self.pos_k = pos_k
+        self.use_pos = pos_k >= 1 and (cfg.engine == "pos" or large)
+        self.use_wide = index.wide
+        if self.use_wide and index.ff_bound < 2:
+            raise ValueError("wide index lacks run splitting (ff_bound < 2); "
+                             "rebuild with ColPmlIndex.build")
+        self.use_mega = (not self.use_pos and not self.use_wide
+                         and index.ff_bound >= 2
+                         and cfg.engine in ("auto", "mega"))
+        self.use_fused = (not self.use_pos and not self.use_wide
+                          and not self.use_mega and index.ff_bound >= 1
+                          and cfg.engine in ("auto", "fused"))
+        self.pt = (query_pos.build_pos_tables(index, pos_k, alphabet=pos_alpha)
+                   if self.use_pos else None)
+        if self.use_wide:
+            from colbwt_tpu.ops import query_mega_wide
+
+            self.mt = query_mega_wide.build_mega_table_wide(index)
+        else:
+            self.mt = (query_mega.build_mega_table(index)
+                       if self.use_mega else None)
+        self.ft = None
+        if self.use_fused:
+            from colbwt_tpu.ops import query_fused
+
+            self.ft = query_fused.build_fused_tables(index)
+        self._xla_tb = None
+
+    @property
+    def name(self) -> str:
+        if self.use_pos:
+            return f"pos(k={self.pos_k})"
+        if self.use_wide:
+            return "mega-wide"
+        if self.use_mega:
+            return "mega"
+        if self.use_fused:
+            return "fused"
+        return "xla"
+
+    # ------------------------------------------------------------------
+    def dispatch(self, batch: list[bytes], padded: int):
+        """Enqueue one device batch without blocking (JAX async dispatch);
+        returns (device_pml, device_cid, lens, fallback) to materialize
+        later — back-to-back batches overlap host transfer with compute."""
+        import jax.numpy as jnp
+
+        from colbwt_tpu.ops import query_mega, query_pos, query_xla
+        from colbwt_tpu.utils.xfer import device_put_chunked
+
+        index, pt, mt, ft = self.index, self.pt, self.mt, self.ft
+        if self.use_pos:
+            padded = -(-padded // self.pos_k) * self.pos_k  # M % k == 0
+            dig, lens, bad = query_pos._encode_digits(index, pt, batch, padded)
+            ej, lj = device_put_chunked(dig), jnp.asarray(lens)
+            p, c = query_pos.query_batch_pos(pt["table"], pt["n"], ej, lj,
+                                             k=self.pos_k, A=pt["A"])
+            if bad.any():  # reads with non-key bytes: general k=1 fallback
+                idxs = np.flatnonzero(bad)
+                e2, l2 = index.encode_patterns([batch[i] for i in idxs],
+                                               padded)
+                if pt["t1"] is not None:
+                    p2, c2 = query_pos.query_batch_pos(
+                        pt["t1"], pt["n"], jnp.asarray(e2), jnp.asarray(l2),
+                        k=1, A=pt["A_full"])
+                else:  # general T1 doesn't fit HBM: compact engine
+                    if self._xla_tb is None:
+                        self._xla_tb = query_xla.index_device_arrays(index)
+                    p2, c2 = query_xla.query_batch_device(
+                        self._xla_tb, jnp.asarray(e2), jnp.asarray(l2),
+                        ff_bound=index.ff_bound)
+                return p, c, lens, (idxs, p2, c2)
+            return p, c, lens, None
+        enc, lens = index.encode_patterns(batch, padded)
+        ej, lj = device_put_chunked(enc), jnp.asarray(lens)
+        if self.use_wide:
+            from colbwt_tpu.ops import query_mega_wide
+
+            p, c = query_mega_wide.query_batch_mega_wide(
+                mt, ej, lj, ff_bound=index.ff_bound)
+        elif self.use_mega:
+            p, c = query_mega.query_batch_mega(mt, ej, lj,
+                                               ff_bound=index.ff_bound)
+        elif self.use_fused:
+            from colbwt_tpu.ops import query_fused
+
+            p, c = query_fused.query_batch_fused(ft, ej, lj,
+                                                 ff_bound=index.ff_bound)
+        else:
+            if self._xla_tb is None:
+                self._xla_tb = query_xla.index_device_arrays(index)
+            p, c = query_xla.query_batch_device(self._xla_tb, ej, lj,
+                                                ff_bound=index.ff_bound)
+        return p, c, lens, None
+
+    @staticmethod
+    def materialize(result) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Block on a dispatch() result; returns (pml (B, W), cid (B, W),
+        lens (B,)) with any fallback reads spliced back in."""
+        p_dev, c_dev, lens, fallback = result
+        p = np.asarray(p_dev)
+        c = np.asarray(c_dev)
+        if fallback is not None:
+            idxs, p2_dev, c2_dev = fallback
+            p, c = np.array(p), np.array(c)  # asarray views are read-only
+            p[idxs] = np.asarray(p2_dev)
+            c[idxs] = np.asarray(c2_dev)
+        return p, c, np.asarray(lens)
+
+    # ------------------------------------------------------------------
+    def query_long_reads(self, reads: list[bytes]
+                         ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+        """Chunked carried-state scans for reads beyond cfg.long_read_len
+        (the -l mode, src/pml_query.cpp:126-128)."""
+        from colbwt_tpu.ops import query_mega, query_pos
+
+        chunk = self.cfg.long_read_chunk
+        if self.use_pos:
+            return query_pos.query_long_reads(self.index, reads, chunk=chunk,
+                                              pt=self.pt)
+        if self.use_wide:
+            from colbwt_tpu.ops import query_mega_wide
+
+            return query_mega_wide.query_long_reads(self.index, reads,
+                                                    chunk=chunk, mt=self.mt)
+        if self.use_mega:
+            return query_mega.query_long_reads(self.index, reads, chunk=chunk,
+                                               mt=self.mt)
+        # fused/xla engines handle any length in one batch (no table growth
+        # with M) — reuse dispatch at the padded length
+        padded = 1 << (max(max(len(r) for r in reads), 1) - 1).bit_length()
+        p, c, lens = self.materialize(self.dispatch(reads, padded))
+        W = p.shape[1]
+        return ([p[i, W - int(lens[i]):] for i in range(len(reads))],
+                [c[i, W - int(lens[i]):] for i in range(len(reads))])
+
+    def supports_long_streaming(self) -> bool:
+        return self.use_pos or self.use_mega or self.use_wide

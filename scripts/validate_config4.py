@@ -97,7 +97,7 @@ def main():
         bits, ids = find_col_runs_mixed(mpos, mids, mhts, fl.l_heads, fl.n)
     log(f"find_col_runs: {time.perf_counter() - t:.1f}s  bits = {bits.size:,}")
     t = time.perf_counter()
-    thr = CJ.compute_thresholds_jax(heads, lens, lcp)
+    thr = O.compute_thresholds_fast(heads, lens, lcp)
     tbl = O.build_col_pml(heads, lens, bits, ids, thr)
     index = ColPmlIndex.from_table(tbl)  # unsplit; xla engine handles it
     log(f"col_pml+index: {time.perf_counter() - t:.1f}s  r = {index.r:,}  "
