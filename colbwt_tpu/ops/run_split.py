@@ -32,66 +32,106 @@ def _lf_dest_positions(char: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return dest
 
 
-def split_runs_bounded_ff(tbl: LFTableArrays, k: int = 4, max_rounds: int = 64,
+def split_runs_bounded_ff(tbl: LFTableArrays, k: int = 4, max_rounds: int = 512,
                           strict: bool = False) -> LFTableArrays:
     """Return a new LF table whose every run's LF image spans few runs,
     targeting <= k.
 
-    Iterates: find violating runs, cut them at the pre-images of every k-th
-    overlapped run boundary, rebuild.  Runs whose LF image overlaps
-    *themselves* (long self-mapping repeats) can oscillate — each cut inserts
-    a boundary into the run's own image — so exact k is not always reachable;
-    after max_rounds the best achieved bound stands (query engines unroll to
-    the *achieved* bound, read it back with max_ff_span).  strict=True raises
-    instead."""
+    Worklist formulation: position-level LF is unchanged by splitting (it is
+    affine inside each original run), so everything runs in position space
+    against the ORIGINAL table.  Round 1 checks every run; after a round cuts
+    new boundaries, only runs whose LF images contain those boundaries (at
+    most one per char per boundary, found by per-char image search) plus the
+    pieces of the cut runs can newly violate — each tail round costs
+    O(affected * log r) instead of the old O(r log r) full recompute
+    (the docs/ROUND_NOTES.md item-5a straggler: ~20 tail rounds fixing <5k
+    runs each at r=5.6M).
+
+    Runs whose LF image overlaps *themselves* (long self-mapping repeats) can
+    oscillate — each cut inserts a boundary into the run's own image — so
+    exact k is not always reachable; after max_rounds the best achieved bound
+    stands (query engines unroll to the *achieved* bound, read it back with
+    max_ff_span).  strict=True raises instead."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    char = np.asarray(tbl.char, dtype=np.uint8)
-    lens = np.asarray(tbl.length, dtype=np.int64)
-    col_id = None if tbl.col_id is None else np.asarray(tbl.col_id)
-    thr = None if tbl.threshold is None else np.asarray(tbl.threshold, dtype=np.int64)
+    char0 = np.asarray(tbl.char, dtype=np.uint8)
+    lens0 = np.asarray(tbl.length, dtype=np.int64)
+    r0 = char0.size
+    n = int(lens0.sum())
+    starts0 = np.zeros(r0, dtype=np.int64)
+    starts0[1:] = np.cumsum(lens0[:-1])
+    dest0 = _lf_dest_positions(char0, lens0)
 
+    # per-char original tiling for pre-image lookups: c-run images tile the
+    # c-bucket contiguously in rank order
+    per_char = []
+    for c in np.unique(char0):
+        runs_c = np.flatnonzero(char0 == c)
+        c_imgs = dest0[runs_c]
+        per_char.append((starts0[runs_c], c_imgs, int(c_imgs[0]),
+                         int(c_imgs[-1] + lens0[runs_c[-1]])))
+
+    def lf_pos(p: np.ndarray) -> np.ndarray:
+        o = np.searchsorted(starts0, p, side="right") - 1
+        return dest0[o] + (p - starts0[o])
+
+    bounds = starts0
+    cand = starts0  # run-start positions to (re)check
+    converged = False
     for _ in range(max_rounds):
-        r = char.size
-        starts = np.zeros(r, dtype=np.int64)
-        starts[1:] = np.cumsum(lens[:-1])
-        dest = _lf_dest_positions(char, lens)
-        lo = np.searchsorted(starts, dest, side="right") - 1
-        hi = np.searchsorted(starts, dest + lens - 1, side="right") - 1
-        span = hi - lo + 1
-        counts = np.maximum((span - 1) // k, 0)  # cuts per run
-        bad = np.flatnonzero(counts > 0)
+        # span of candidate runs under the current bounds
+        i = np.searchsorted(bounds, cand, side="left")
+        ends = np.where(i + 1 < bounds.size, bounds[np.minimum(i + 1,
+                        bounds.size - 1)], n)
+        ln = ends - cand
+        d = lf_pos(cand)
+        first_in = np.searchsorted(bounds, d, side="right")
+        cnt = np.searchsorted(bounds, d + ln, side="left") - first_in
+        cuts_per = np.maximum(cnt // k, 0)  # internal boundaries kept: k-1
+        bad = np.flatnonzero(cuts_per > 0)
         if bad.size == 0:
+            converged = True
             break
-
-        # cut j of bad run i sits at image boundary starts[lo_i + k*j],
-        # translated back to a source offset and then a source coordinate —
-        # fully vectorized over all (run, cut) pairs
-        c = counts[bad]
+        # cut j of bad run b at the pre-image of its (k*j)-th internal
+        # boundary (1-indexed), vectorized over all (run, cut) pairs
+        c = cuts_per[bad]
         rep = np.repeat(bad, c)
         jj = np.arange(rep.size, dtype=np.int64) - np.repeat(
             np.cumsum(c) - c, c) + 1
-        cut_abs = starts[rep] + (starts[lo[rep] + k * jj] - dest[rep])
+        b_at = bounds[first_in[rep] + k * jj - 1]
+        cut_abs = np.unique(cand[rep] + (b_at - d[rep]))
+        # drop cuts that already are boundaries
+        at = np.searchsorted(bounds, cut_abs)
+        is_new = (at >= bounds.size) | (bounds[np.minimum(at,
+                  bounds.size - 1)] != cut_abs)
+        new_b = cut_abs[is_new]
+        if new_b.size == 0:
+            converged = True
+            break
+        bounds = np.insert(bounds, np.searchsorted(bounds, new_b), new_b)
+        # next candidates: pieces of the cut runs + runs whose images
+        # contain a new boundary (one per char, via original tiling)
+        nxt = [cand[bad], new_b]
+        for c_starts, c_imgs, blo, bhi in per_char:
+            b = new_b[(new_b > blo) & (new_b < bhi)]
+            if not b.size:
+                continue
+            j = np.searchsorted(c_imgs, b, side="right") - 1
+            pre = c_starts[j] + (b - c_imgs[j])
+            # start of the current run containing each pre-image
+            at2 = np.searchsorted(bounds, pre, side="right") - 1
+            nxt.append(bounds[at2])
+        cand = np.unique(np.concatenate(nxt))
+    if strict and not converged:
+        raise RuntimeError(f"run splitting did not converge to k={k}")
 
-        bounds = np.concatenate([starts, cut_abs])
-        bounds.sort(kind="stable")
-        owner = np.searchsorted(starts, bounds, side="right") - 1
-        n_total = int(lens.sum())
-        new_lens = np.diff(np.r_[bounds, n_total])
-        keep = new_lens > 0  # duplicates would appear only if a cut hit a start
-        char = char[owner][keep]
-        lens = new_lens[keep]
-        if col_id is not None:
-            col_id = col_id[owner][keep]
-        if thr is not None:
-            thr = thr[owner][keep]
-    else:
-        if strict:
-            raise RuntimeError(f"run splitting did not converge to k={k}")
-
-    out = build_lf_table(char, lens)
-    out.col_id = col_id
-    out.threshold = thr
+    owner = np.searchsorted(starts0, bounds, side="right") - 1
+    new_lens = np.diff(np.r_[bounds, n])
+    out = build_lf_table(char0[owner], new_lens)
+    out.col_id = (None if tbl.col_id is None
+                  else np.asarray(tbl.col_id)[owner])
+    out.threshold = (None if tbl.threshold is None
+                     else np.asarray(tbl.threshold, dtype=np.int64)[owner])
     out.bwt_r = tbl.bwt_r
     return out
 
