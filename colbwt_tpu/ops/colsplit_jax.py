@@ -213,6 +213,92 @@ def col_split_tunneled_numpy(fl: FLTableArrays, mum_lens: np.ndarray,
     return pos_s[last], ids_s[last], heights
 
 
+def col_split_all_numpy(fl: FLTableArrays, mum_lens: np.ndarray,
+                        mum_pos: np.ndarray, num_docs: int,
+                        split_rate: int = 10, id_bits: int = 8
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All-mode col-split as a fragment-event walk — O(live fragments) per
+    step instead of the O(N) per-MUM walker decomposition of _all_walk.
+
+    A MUM's N-high range stays a set of contiguous fragments: a fragment
+    [p, p+h) walks FL intact while no run starts fall in (p, p+h), and splits
+    into sub-fragments at exactly those boundaries (splits are permanent,
+    include/col_split.hpp:54-136).  Per step: one vectorized multi-split
+    expansion (repeat over boundary counts) then one affine FL step per
+    fragment.  Each fragment carries its offset d0 inside the original range
+    so visit keys — (mum, step, walker-index) — and the first-among-maximal-
+    height merge match _all_walk / the oracle exactly.  Host int64, so the
+    wide (n >= 2**31) regime and N = 10k-class document counts both work.
+    """
+    M = int(np.asarray(mum_pos).size)
+    if M == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    N = num_docs
+    idx = np.asarray(fl.idx, dtype=np.int64)
+    dest_pos = (np.asarray(fl.idx, dtype=np.int64)[
+        np.asarray(fl.dest_interval, dtype=np.int64)]
+        + np.asarray(fl.dest_offset, dtype=np.int64))
+
+    order = np.argsort(np.asarray(mum_pos), kind="stable")
+    pos = np.asarray(mum_pos, dtype=np.int64)[order].copy()
+    lens = np.asarray(mum_lens, dtype=np.int64)[order]
+    cid = np.arange(1, M + 1, dtype=np.int64)
+    g_t = int(lens.max()) + 1
+
+    h = np.full(M, N, dtype=np.int64)
+    d0 = np.zeros(M, dtype=np.int64)
+    T = int(lens.max())
+
+    out_pos: list[np.ndarray] = []
+    out_id: list[np.ndarray] = []
+    out_h: list[np.ndarray] = []
+    out_visit: list[np.ndarray] = []
+    for t in range(T):
+        act = t < lens
+        if not act.all():
+            pos, h, d0, cid, lens = (pos[act], h[act], d0[act], cid[act],
+                                     lens[act])
+        if pos.size == 0:
+            break
+        # split phase: boundaries strictly inside (p, p+h) become new heads
+        first_in = np.searchsorted(idx, pos, side="right")
+        cnt = np.searchsorted(idx, pos + h, side="left") - first_in
+        if cnt.max(initial=0) > 0:
+            pieces = cnt + 1
+            rep = np.repeat(np.arange(pos.size), pieces)
+            jj = (np.arange(rep.size, dtype=np.int64)
+                  - np.repeat(np.cumsum(pieces) - pieces, pieces))
+            b_idx = first_in[rep] + jj - 1
+            st = np.where(jj == 0, pos[rep], idx[np.maximum(b_idx, 0)])
+            is_last = jj == cnt[rep]
+            en = np.where(is_last, pos[rep] + h[rep],
+                          idx[np.minimum(first_in[rep] + jj, idx.size - 1)])
+            d0 = d0[rep] + (st - pos[rep])
+            pos, h, cid, lens = st, en - st, cid[rep], lens[rep]
+        # step phase: every fragment sits inside one run now
+        i = np.searchsorted(idx, pos, side="right") - 1
+        pos = dest_pos[i] + (pos - idx[i])
+        if t % split_rate == 0:
+            out_pos.append(pos.copy())
+            out_id.append(cid.copy())
+            out_h.append(h.copy())
+            out_visit.append((cid * g_t + t) * (N + 1) + d0)
+
+    if not out_pos:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    pos_all = np.concatenate(out_pos)
+    ids_all = _bin_id(np.concatenate(out_id), id_bits)
+    h_all = np.concatenate(out_h)
+    visit = np.concatenate(out_visit)
+    # first mark (visit order) among maximal heights wins per position
+    o = np.lexsort((visit, -h_all, pos_all))
+    pos_s, ids_s, h_s = pos_all[o], ids_all[o], h_all[o]
+    firsts = np.r_[True, pos_s[1:] != pos_s[:-1]]
+    return pos_s[firsts], ids_s[firsts], h_s[firsts]
+
+
 def col_split_jax(fl: FLTableArrays, mum_lens: np.ndarray, mum_pos: np.ndarray,
                   num_docs: int, split_rate: int = 10, mode: str = "tunnels",
                   id_bits: int = 8, step_budget: int = 1 << 24
@@ -229,6 +315,12 @@ def col_split_jax(fl: FLTableArrays, mum_lens: np.ndarray, mum_pos: np.ndarray,
         return z, z.copy(), z.copy()
 
     tunneled = mode in ("tunnels", "tunneled")
+    if not tunneled and num_docs > 64:
+        # the device All-walk materializes (T, M, N) arrays — O(N) per MUM
+        # per step.  Beyond small N the fragment-event walk wins outright
+        # (O(live fragments) per step, any N).
+        return col_split_all_numpy(fl, mum_lens, mum_pos, num_docs,
+                                   split_rate, id_bits)
     fd = fl_device_arrays(fl)
 
     # bucket MUMs (ascending length) so T * M_bucket walk area stays bounded

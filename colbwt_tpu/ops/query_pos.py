@@ -90,45 +90,46 @@ def choose_k(index: ColPmlIndex, hbm_budget_bytes: int = 10 << 30,
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _build_t1(char, idx, length, lf_pos0, threshold, pred_jump, succ_jump,
-              col_id, build_chars, n: int):
-    """T1[q*n + pos] = [new_pos | match<<31, col_id] for one step of the
-    q-th char in `build_chars` (the key digits: all dense chars for the
-    general alphabet, the Q-byte ids for a restricted one — restricting T1
-    itself keeps its gather indices len(Q)*n, which matters at large n)."""
+@functools.partial(jax.jit, static_argnames=("n", "C"), donate_argnums=(0,))
+def _build_t1_chunk(buf, char, idx, length, lf_pos0, threshold, pred_jump,
+                    succ_jump, col_id, c, row0, s, n: int, C: int):
+    """Fill T1 rows [row0, row0+C) — positions [s, s+C) for key digit char c
+    — into the donated buffer: T1[q*n + pos] = [new_pos | match<<31,
+    col_id].  One chunk at a time so peak HBM is the table plus O(C) temps;
+    the whole-table lax.map formulation needed ~2.5x the table (n-sized
+    temps + fragmentation) and OOMed at n = 368M on v5e."""
     r = char.shape[0]
-    pos = jax.lax.iota(jnp.int32, n)
+    pos = jax.lax.iota(jnp.int32, C) + s
     run = jnp.searchsorted(idx, pos, side="right").astype(jnp.int32) - 1
     offset = pos - jnp.take(idx, run)
     run_char = jnp.take(char, run)
     run_cid = jnp.take(col_id, run)
     lf_match = jnp.take(lf_pos0, run) + offset  # LF needs no ff in pos space
 
-    def per_char(c):
-        match = run_char == c
-        si = jnp.take(succ_jump[c], run)
-        pi = jnp.take(pred_jump[c], run)
-        has_succ = si < r
-        has_pred = pi >= 0
-        thr = jnp.where(has_succ,
-                        jnp.take(threshold, jnp.minimum(si, r - 1)), n)
-        succ_pos = jnp.take(lf_pos0, jnp.minimum(si, r - 1))
-        pic = jnp.maximum(pi, 0)
-        pred_pos = jnp.take(lf_pos0, pic) + jnp.take(length, pic) - 1
-        # threshold_step priority (include/col_bwt.hpp:531-574): pred iff
-        # pos < thr and pred exists (thr == n encodes no successor, making
-        # pos < thr true); else succ; else LF from the unmoved state.
-        take_pred = (pos < thr) & has_pred
-        take_succ = (~take_pred) & has_succ
-        repos = jnp.where(take_pred, pred_pos,
-                          jnp.where(take_succ, succ_pos, lf_match))
-        new_pos = jnp.where(match, lf_match, repos)
-        w0 = new_pos | (match.astype(jnp.int32) << T1_POS_BITS)
-        return jnp.stack([w0, run_cid], axis=1)
+    match = run_char == c
+    si = jnp.take(jnp.take(succ_jump, c, axis=0), run)
+    pi = jnp.take(jnp.take(pred_jump, c, axis=0), run)
+    has_succ = si < r
+    has_pred = pi >= 0
+    thr = jnp.where(has_succ,
+                    jnp.take(threshold, jnp.minimum(si, r - 1)), n)
+    succ_pos = jnp.take(lf_pos0, jnp.minimum(si, r - 1))
+    pic = jnp.maximum(pi, 0)
+    pred_pos = jnp.take(lf_pos0, pic) + jnp.take(length, pic) - 1
+    # threshold_step priority (include/col_bwt.hpp:531-574): pred iff
+    # pos < thr and pred exists (thr == n encodes no successor, making
+    # pos < thr true); else succ; else LF from the unmoved state.
+    take_pred = (pos < thr) & has_pred
+    take_succ = (~take_pred) & has_succ
+    repos = jnp.where(take_pred, pred_pos,
+                      jnp.where(take_succ, succ_pos, lf_match))
+    new_pos = jnp.where(match, lf_match, repos)
+    w0 = new_pos | (match.astype(jnp.int32) << T1_POS_BITS)
+    block = jnp.stack([w0, run_cid], axis=1)
+    return jax.lax.dynamic_update_slice(buf, block, (row0, 0))
 
-    blocks = jax.lax.map(per_char, build_chars.astype(jnp.int32))
-    return blocks.reshape(build_chars.shape[0] * n, 2)
+# T1 build chunk: bounds per-chunk temps (~6 int32 arrays) to ~1.6 GB
+_T1_CHUNK = 1 << 26
 
 
 @functools.partial(jax.jit, static_argnames=("n", "A_key", "k"),
@@ -205,13 +206,23 @@ def build_pos_tables(index: ColPmlIndex, k: int | None = None,
                            + index.dest_offset.astype(np.int64)
                            ).astype(np.int32))
 
+    char_j = jnp.asarray(index.char)
+    thr_j = jnp.asarray(index.threshold.astype(np.int32))
+    pred_j = jnp.asarray(index.pred_jump)
+    succ_j = jnp.asarray(index.succ_jump)
+    cid_j = jnp.asarray(index.col_id)
+
     def t1_for(chars):
-        return _build_t1(
-            jnp.asarray(index.char), idx, length, lf_pos0,
-            jnp.asarray(index.threshold.astype(np.int32)),
-            jnp.asarray(index.pred_jump), jnp.asarray(index.succ_jump),
-            jnp.asarray(index.col_id), jnp.asarray(chars.astype(np.int32)),
-            n=n)
+        C = min(n, _T1_CHUNK)
+        buf = jnp.zeros((len(chars) * n, 2), dtype=jnp.int32)
+        for q, c in enumerate(chars):
+            for s in range(0, n, C):
+                s = min(s, n - C)  # tail chunk overlaps; writes idempotent
+                buf = _build_t1_chunk(
+                    buf, char_j, idx, length, lf_pos0, thr_j, pred_j, succ_j,
+                    cid_j, jnp.int32(int(c)), jnp.int32(q * n + s),
+                    jnp.int32(s), n=n, C=C)
+        return buf
 
     t1 = t1_for(digit_dense)  # keyed by the key digits themselves
     if k == 1:

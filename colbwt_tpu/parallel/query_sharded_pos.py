@@ -135,12 +135,20 @@ def shard_pos_tables(index: ColPmlIndex, mesh: Mesh, k: int | None = None,
     lf_pos0 = jnp.asarray((index.idx.astype(np.int64)[di]
                            + index.dest_offset.astype(np.int64)
                            ).astype(np.int32))
-    t1 = query_pos._build_t1(
-        jnp.asarray(index.char), idx, length, lf_pos0,
-        jnp.asarray(index.threshold.astype(np.int32)),
-        jnp.asarray(index.pred_jump), jnp.asarray(index.succ_jump),
-        jnp.asarray(index.col_id),
-        jnp.arange(A, dtype=jnp.int32), n=n)
+    C = min(n, query_pos._T1_CHUNK)
+    t1 = jnp.zeros((A * n, 2), dtype=jnp.int32)
+    char_j = jnp.asarray(index.char)
+    thr_j = jnp.asarray(index.threshold.astype(np.int32))
+    pred_j = jnp.asarray(index.pred_jump)
+    succ_j = jnp.asarray(index.succ_jump)
+    cid_j = jnp.asarray(index.col_id)
+    for q in range(A):
+        for s in range(0, n, C):
+            s = min(s, n - C)
+            t1 = query_pos._build_t1_chunk(
+                t1, char_j, idx, length, lf_pos0, thr_j, pred_j, succ_j,
+                cid_j, jnp.int32(q), jnp.int32(q * n + s), jnp.int32(s),
+                n=n, C=C)
     t1 = jax.device_put(t1, NamedSharding(mesh, P()))  # replicated
     table = _build_sharded_tk(mesh, t1, n=n, n_local=n_local, A=A, k=k)
     return {"table": table, "n": n, "n_local": n_local, "k": k, "A": A}

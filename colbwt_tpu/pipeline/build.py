@@ -162,11 +162,9 @@ def stage_colsplit(prefix: str, cfg: ColBwtConfig, logger):
                 mpos, mids, mhts = col_split_tunneled_numpy(
                     fl, ml, mp, num_docs, cfg.split_rate, cfg.id_bits)
             elif wide:
-                logger.warning("[colsplit] All mode at n >= 2**31 runs on "
-                               "the host oracle (slow for many MUMs)")
-                mpos, mids, mhts = O.col_split_oracle(
-                    fl, ml, mp, num_docs, cfg.split_rate, cfg.mode.value,
-                    cfg.id_bits)
+                from colbwt_tpu.ops.colsplit_jax import col_split_all_numpy
+                mpos, mids, mhts = col_split_all_numpy(
+                    fl, ml, mp, num_docs, cfg.split_rate, cfg.id_bits)
             elif fl.n >= _DEVICE_MIN_N or ml.size > 256:
                 from colbwt_tpu.ops.colsplit_jax import col_split_jax
                 mpos, mids, mhts = col_split_jax(

@@ -99,9 +99,12 @@ def test_colsplit_device_matches_oracle(rng, mode, rate):
     if mode == "tunnels":
         # the host int64 walker (wide-n lane) matches too
         pn, in_, hn = CS.col_split_tunneled_numpy(fl, ml, mp, 3, rate)
-        np.testing.assert_array_equal(pn, po)
-        np.testing.assert_array_equal(in_, io_)
-        np.testing.assert_array_equal(hn, ho)
+    else:
+        # the fragment-event walker (any-N All mode) matches too
+        pn, in_, hn = CS.col_split_all_numpy(fl, ml, mp, 3, rate)
+    np.testing.assert_array_equal(pn, po)
+    np.testing.assert_array_equal(in_, io_)
+    np.testing.assert_array_equal(hn, ho)
 
 
 def test_colsplit_all_mode_large_n(rng):
@@ -212,6 +215,34 @@ def test_multi_mums_planted_cores_high_n(rng):
     np.testing.assert_array_equal(pj, po)
     np.testing.assert_array_equal(lj, lo)
     assert sorted(lo.tolist()) == [25, 40]
+
+
+def test_colsplit_all_mode_planted_cores_n400(rng):
+    """All-mode col-split at N=400 via the fragment-event walker — the
+    regime the (T, M, N) device walk cannot reach — against the oracle."""
+    N = 400
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    core1 = rng.choice(ACGT, 40)
+    core2 = rng.choice(ACGT, 25)
+    docs = [np.concatenate([rng.choice(ACGT, 30), core1,
+                            rng.choice(ACGT, 20), core2,
+                            rng.choice(ACGT, 10)]).tobytes()
+            for _ in range(N)]
+    text, ranks, doc_ids = O.concat_collection(docs)
+    sa = O.suffix_array(ranks)
+    lcp = O.lcp_kasai(ranks, sa)
+    ml, mp = O.find_multi_mums(ranks, sa, lcp, doc_ids, N, 8)
+    assert ml.size == 2
+    heads, lens = O.rle(O.bwt_from_sa(text, sa))
+    fl = O.build_fl_table(heads, lens)
+    for rate in (1, 4):
+        po, io_, ho = O.col_split_oracle(fl, ml, mp, N, rate, "all")
+        pj, ij, hj = CS.col_split_jax(fl, ml, mp, N, rate, "all")
+        np.testing.assert_array_equal(pj, po)
+        np.testing.assert_array_equal(ij, io_)
+        np.testing.assert_array_equal(hj, ho)
+        # fragments split: heights must show real fragmentation, not all N
+        assert (hj < N).any() or rate > 1
 
 
 @pytest.mark.parametrize("chunk", [1 << 10, 777, 4096])
