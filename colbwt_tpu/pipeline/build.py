@@ -224,10 +224,13 @@ def stage_index(prefix: str, cfg: ColBwtConfig, logger):
         # bound, so skip the O(rounds * r log r) splitting when pos tables
         # are viable for this index.  Wide tables always split (run-length
         # cap for the int32-limb layout).
+        from colbwt_tpu.utils.hbm import resolve_pos_budget
+
         wide = tbl.n > cfg.wide_n_limit
         sigma = int(np.unique(O.normalize_heads(tbl.char)).size)
         pos_viable = (not wide and tbl.n < 2**28
-                      and (sigma + 1) * tbl.n * 8 <= cfg.pos_hbm_budget)
+                      and (sigma + 1) * tbl.n * 8
+                      <= resolve_pos_budget(cfg.pos_hbm_budget))
         split = (wide or cfg.run_split == "always"
                  or (cfg.run_split == "auto" and not pos_viable))
         if split:

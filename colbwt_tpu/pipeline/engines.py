@@ -29,19 +29,23 @@ class QueryEngines:
                  total_chars: int | None = None):
         from colbwt_tpu.ops import query_mega, query_pos
 
+        from colbwt_tpu.utils.hbm import resolve_pos_budget
+
         self.index = index
         self.cfg = cfg
         # The pos tables cost O(A^k n) device work to build, so under "auto"
         # they only pay off for real workloads; total_chars=None means "the
         # workload is large/unbounded" (streaming drivers).
         large = total_chars is None or total_chars >= 1_000_000
-        pos_k = (query_pos.choose_k(index, cfg.pos_hbm_budget)
+        budget = resolve_pos_budget(cfg.pos_hbm_budget)
+        pos_k = (query_pos.choose_k(index, budget)
                  if (not index.wide and cfg.engine in ("auto", "pos")) else 0)
         pos_alpha = None
         if pos_k >= 1 and set(index.alphabet.tolist()) - {1} <= set(b"ACGT"):
-            kq = query_pos.choose_k(index, cfg.pos_hbm_budget, alphabet=b"ACGT")
+            kq = query_pos.choose_k(index, budget, alphabet=b"ACGT")
             if kq >= pos_k:
                 pos_k, pos_alpha = kq, b"ACGT"
+        self.pos_budget = budget
         self.pos_k = pos_k
         self.use_pos = pos_k >= 1 and (cfg.engine == "pos" or large)
         self.use_wide = index.wide
@@ -54,7 +58,9 @@ class QueryEngines:
         self.use_fused = (not self.use_pos and not self.use_wide
                           and not self.use_mega and index.ff_bound >= 1
                           and cfg.engine in ("auto", "fused"))
-        self.pt = (query_pos.build_pos_tables(index, pos_k, alphabet=pos_alpha)
+        self.pt = (query_pos.build_pos_tables(index, pos_k,
+                                              hbm_budget_bytes=budget,
+                                              alphabet=pos_alpha)
                    if self.use_pos else None)
         if self.use_wide:
             from colbwt_tpu.ops import query_mega_wide

@@ -54,9 +54,12 @@ class ColBwtConfig:
     engine: str = "auto"          # "pos" | "mega" | "fused" | "xla" | "auto"
     ff_bound: int = 2             # max LF fast-forward span after run splitting
                                   # (2 enables the 1-gather/step mega engine)
-    pos_hbm_budget: int = 10 << 30  # HBM byte budget for the positional-
+    pos_hbm_budget: int = 0       # HBM byte budget for the positional-
                                   # automaton tables ((sigma+1)**k * n * 8 B);
-                                  # picks the largest k in {1,2,3} that fits
+                                  # picks the largest k that fits.  0 = auto:
+                                  # derive from the device's HBM
+                                  # (utils/hbm.resolve_pos_budget; 10 GB when
+                                  # the device is unknown)
     run_split: str = "auto"       # "auto" | "always" | "never": run splitting
                                   # only serves the mega/fused engines; "auto"
                                   # skips it when the positional-automaton

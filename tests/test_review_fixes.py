@@ -158,3 +158,32 @@ def test_clean_removes_col_pml(tmp_path, rng):
               str(tmp_path / "s0.fa"), str(tmp_path / "s1.fa")])
     assert not (tmp_path / "c.fa.col_pml").exists()
     assert (tmp_path / "c.colpml.npz").exists()
+
+
+def test_resolve_pos_budget():
+    """Budget auto-derivation: explicit value wins; CPU hosts fall back to
+    the 10 GB constant; known TPU kinds map to a fraction of their HBM."""
+    from colbwt_tpu.utils.hbm import (_FALLBACK, _RESERVE_FRACTION,
+                                      device_hbm_bytes, resolve_pos_budget)
+
+    assert resolve_pos_budget(5 << 30) == 5 << 30
+    # under the test conftest we are on CPU: unknown -> fallback
+    assert device_hbm_bytes() is None
+    assert resolve_pos_budget(0) == _FALLBACK
+
+    class FakeTpu:
+        device_kind = "TPU v5 lite"
+        platform = "tpu"
+
+        def memory_stats(self):
+            return None
+
+    assert device_hbm_bytes(FakeTpu()) == 16 << 30
+    assert resolve_pos_budget(0, FakeTpu()) == int((16 << 30)
+                                                   * _RESERVE_FRACTION)
+
+    class FakeStats(FakeTpu):
+        def memory_stats(self):
+            return {"bytes_limit": 12 << 30}
+
+    assert device_hbm_bytes(FakeStats()) == 12 << 30
