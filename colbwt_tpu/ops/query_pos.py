@@ -91,13 +91,16 @@ def choose_k(index: ColPmlIndex, hbm_budget_bytes: int = 10 << 30,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "C"), donate_argnums=(0,))
-def _build_t1_chunk(buf, char, idx, length, lf_pos0, threshold, pred_jump,
-                    succ_jump, col_id, c, row0, s, n: int, C: int):
+def _build_t1_chunk(buf, char, idx, length, lf_pos0, threshold, pred_row,
+                    succ_row, col_id, c, row0, s, n: int, C: int):
     """Fill T1 rows [row0, row0+C) — positions [s, s+C) for key digit char c
     — into the donated buffer: T1[q*n + pos] = [new_pos | match<<31,
     col_id].  One chunk at a time so peak HBM is the table plus O(C) temps;
     the whole-table lax.map formulation needed ~2.5x the table (n-sized
-    temps + fragmentation) and OOMed at n = 368M on v5e."""
+    temps + fragmentation) and OOMed at n = 368M on v5e.  pred_row/succ_row
+    are char c's jump-table rows only — shipping the full (sigma+1, r)
+    tables costs ~2 GB at r = 38M, which alone overflowed the chip next to
+    an 11 GB table."""
     r = char.shape[0]
     pos = jax.lax.iota(jnp.int32, C) + s
     run = jnp.searchsorted(idx, pos, side="right").astype(jnp.int32) - 1
@@ -107,8 +110,8 @@ def _build_t1_chunk(buf, char, idx, length, lf_pos0, threshold, pred_jump,
     lf_match = jnp.take(lf_pos0, run) + offset  # LF needs no ff in pos space
 
     match = run_char == c
-    si = jnp.take(jnp.take(succ_jump, c, axis=0), run)
-    pi = jnp.take(jnp.take(pred_jump, c, axis=0), run)
+    si = jnp.take(succ_row, run)
+    pi = jnp.take(pred_row, run)
     has_succ = si < r
     has_pred = pi >= 0
     thr = jnp.where(has_succ,
@@ -128,8 +131,9 @@ def _build_t1_chunk(buf, char, idx, length, lf_pos0, threshold, pred_jump,
     block = jnp.stack([w0, run_cid], axis=1)
     return jax.lax.dynamic_update_slice(buf, block, (row0, 0))
 
-# T1 build chunk: bounds per-chunk temps (~6 int32 arrays) to ~1.6 GB
-_T1_CHUNK = 1 << 26
+# T1 build chunk: bounds per-chunk temps (~6 int32 arrays) to ~0.8 GB,
+# leaving headroom next to an 11 GB-class table at n = 368M on a 16 GB chip
+_T1_CHUNK = 1 << 25
 
 
 @functools.partial(jax.jit, static_argnames=("n", "A_key", "k"),
@@ -208,20 +212,21 @@ def build_pos_tables(index: ColPmlIndex, k: int | None = None,
 
     char_j = jnp.asarray(index.char)
     thr_j = jnp.asarray(index.threshold.astype(np.int32))
-    pred_j = jnp.asarray(index.pred_jump)
-    succ_j = jnp.asarray(index.succ_jump)
     cid_j = jnp.asarray(index.col_id)
 
     def t1_for(chars):
         C = min(n, _T1_CHUNK)
         buf = jnp.zeros((len(chars) * n, 2), dtype=jnp.int32)
         for q, c in enumerate(chars):
+            pred_row = jnp.asarray(index.pred_jump[int(c)])
+            succ_row = jnp.asarray(index.succ_jump[int(c)])
             for s in range(0, n, C):
                 s = min(s, n - C)  # tail chunk overlaps; writes idempotent
                 buf = _build_t1_chunk(
-                    buf, char_j, idx, length, lf_pos0, thr_j, pred_j, succ_j,
-                    cid_j, jnp.int32(int(c)), jnp.int32(q * n + s),
+                    buf, char_j, idx, length, lf_pos0, thr_j, pred_row,
+                    succ_row, cid_j, jnp.int32(int(c)), jnp.int32(q * n + s),
                     jnp.int32(s), n=n, C=C)
+            del pred_row, succ_row
         return buf
 
     t1 = t1_for(digit_dense)  # keyed by the key digits themselves

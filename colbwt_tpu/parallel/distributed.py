@@ -9,6 +9,12 @@ deterministic output regardless of process count.
 
 Runs unchanged single-process (P = 1), which is how CI exercises it; the
 driver's dryrun covers the multi-device mesh path.
+
+ASSUMPTION: the part-file merge requires a filesystem visible to every
+process (the standard shared-scratch setup on TPU pods).  Without one,
+point each host's pattern_file at local scratch and concatenate the part
+files out of band — the record format is self-delimiting, so plain
+byte concatenation in process order is the merge.
 """
 
 from __future__ import annotations
@@ -45,12 +51,19 @@ def host_read_slice(num_reads: int, pid: int, nproc: int) -> tuple[int, int]:
     return lo, min(lo + per, num_reads)
 
 
-def merge_part_files(out_path: str | Path, part_paths: list[str | Path]) -> None:
+def merge_part_files(out_path: str | Path, part_paths: list[str | Path],
+                     bufsize: int = 32 << 20) -> None:
     """Order-preserving concatenation of per-host binary record files
-    (the record format is self-delimiting — pml_out layout)."""
+    (the record format is self-delimiting — pml_out layout).  Streamed in
+    bounded buffers: part files from 100M-read runs are multi-GB."""
     with Path(out_path).open("wb") as out:
         for p in part_paths:
-            out.write(Path(p).read_bytes())
+            with Path(p).open("rb") as fh:
+                while True:
+                    chunk = fh.read(bufsize)
+                    if not chunk:
+                        break
+                    out.write(chunk)
 
 
 def distributed_query(index, pattern_file: str, names: list[str],

@@ -139,14 +139,14 @@ def shard_pos_tables(index: ColPmlIndex, mesh: Mesh, k: int | None = None,
     t1 = jnp.zeros((A * n, 2), dtype=jnp.int32)
     char_j = jnp.asarray(index.char)
     thr_j = jnp.asarray(index.threshold.astype(np.int32))
-    pred_j = jnp.asarray(index.pred_jump)
-    succ_j = jnp.asarray(index.succ_jump)
     cid_j = jnp.asarray(index.col_id)
     for q in range(A):
+        pred_row = jnp.asarray(index.pred_jump[q])
+        succ_row = jnp.asarray(index.succ_jump[q])
         for s in range(0, n, C):
             s = min(s, n - C)
             t1 = query_pos._build_t1_chunk(
-                t1, char_j, idx, length, lf_pos0, thr_j, pred_j, succ_j,
+                t1, char_j, idx, length, lf_pos0, thr_j, pred_row, succ_row,
                 cid_j, jnp.int32(q), jnp.int32(q * n + s), jnp.int32(s),
                 n=n, C=C)
     t1 = jax.device_put(t1, NamedSharding(mesh, P()))  # replicated
