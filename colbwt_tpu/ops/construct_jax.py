@@ -312,11 +312,15 @@ def find_multi_mums_chunked(lcp: np.ndarray, sa_docs: np.ndarray,
     out_pos: list[np.ndarray] = []
     for s in range(0, n, C):
         def slice_padded(arr, fill, dtype):
+            from colbwt_tpu.utils.xfer import device_put_chunked
+
             sl = np.asarray(arr[s:s + C + halo])
             if sl.size < C + halo:
                 sl = np.concatenate(
                     [sl, np.full(C + halo - sl.size, fill, arr.dtype)])
-            return jnp.asarray(sl.astype(dtype))
+            # chunked upload: ~0.8 GB per scan chunk through the tunneled
+            # backend is 27x faster in 16 MB slices (utils/xfer.py)
+            return device_put_chunked(sl.astype(dtype, copy=False))
 
         is_mum, ell = _mum_scan_chunk(
             slice_padded(lcp, 0, np.int32),
