@@ -78,15 +78,15 @@ def main():
         pos = rng.integers(0, L, args.muts)
         seg[pos] = ACGT[rng.integers(0, 4, args.muts)]
         mut_pos.append(pos)
-        text[d * (L + 1) + L] = 0  # separator, reranked below
+        text[d * (L + 1) + L] = 1  # TERMINATOR byte
     del base
     # distinct ascending separator ranks (concat_collection semantics,
-    # oracle.concat_collection) without doubling memory: ranks = text + N
-    # for real bytes, d for separator of document d
+    # oracle.concat_collection:41-67) without doubling memory:
+    # rank = byte + N for real bytes, 1 + d for the separator of document d
     ranks = text.astype(np.int64)
     ranks += N
     sep_idx = (np.arange(N, dtype=np.int64) * (L + 1)) + L
-    ranks[sep_idx] = np.arange(N, dtype=np.int64)
+    ranks[sep_idx] = 1 + np.arange(N, dtype=np.int64)
     log(f"collection built ({time.perf_counter() - t_all:.0f}s)")
 
     # --- SA + LCP (cached) -------------------------------------------------
@@ -130,7 +130,7 @@ def main():
     gc.collect()
     ml, mp = CJ.find_multi_mums_chunked(lcp32, doc_of, run_change, N,
                                         args.min_mum)
-    del doc_of, run_change
+    del doc_of, run_change, ranks, sa
     gc.collect()
     log(f"multi-MUM scan: {time.perf_counter() - t:.0f}s  mums = {ml.size:,}")
 
@@ -138,7 +138,7 @@ def main():
     # thresholds consume int64 LCP values; positions exceed 2**31 (wide)
     thr = O.compute_thresholds_fast(heads, lens, lcp32)
     log(f"thresholds: {time.perf_counter() - t:.0f}s")
-    del lcp32, ranks, sa
+    del lcp32
     gc.collect()
 
     # --- col-split (host int64 tunneled walk) ------------------------------
