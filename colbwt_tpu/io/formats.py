@@ -259,13 +259,33 @@ def read_sdsl_bit_vector(path: str | Path) -> np.ndarray:
 # size-in-bits + uint8 width + ceil(bits/64) LE words; bit_vector as uint64
 # size-in-bits + words (LSB-first within each word).
 #
-# We write the EF core WITHOUT the two trailing select-support blocks (they
-# are derived data, rebuilt in memory on load; emitting select_support_mcl's
-# internal block structure byte-exactly is unverifiable without sdsl in this
-# environment).  Reading tolerates trailing select blocks by best-effort
-# skipping their self-describing frames, so sdsl-written .col_runs.sv /
-# .FL_table files parse; sdsl itself cannot load our core-only files -- the
-# asymmetry is deliberate and documented (docs/PARITY.md).
+# The two trailing select-support blocks ARE written (encode_sd_vector
+# default): select_support_mcl<t_b,1> frames per sdsl-lite's
+# select_support_mcl.hpp serialize()/load() --
+#
+#   uint64 arg_cnt                     number of pattern bits (1s resp. 0s)
+#   [if arg_cnt > 0]
+#   int_vector<0> superblock           ceil(arg_cnt/4096) absolute positions
+#                                      of each superblock's first argument,
+#                                      width logn = hi(ceil64(nbits))+1
+#   bit_vector    mini_or_long         EMPTY if no long blocks exist, else
+#                                      one flag per superblock
+#   per superblock, in order, exactly one of
+#     long block:  int_vector<0>(4096, width hi(last_arg_pos)+1) holding every
+#                  argument position absolutely (chosen when the block spans
+#                  > logn**4 positions)
+#     mini block:  int_vector<0>(64, width hi(span)+1) holding the position of
+#                  every 64th argument relative to the superblock start
+#
+# sdsl's load() reads these self-describing frames verbatim (widths come from
+# the int_vector headers, never recomputed), so loadability requires only
+# structural validity; select_support_mcl_query() below implements the query
+# algorithm over the emitted blocks and is differential-tested against
+# np.flatnonzero to prove that validity.  Byte-identity with sdsl's *builder*
+# output additionally needs sdsl's exact width choices, reproduced here from
+# select_support_mcl.hpp init_slow(); unverifiable in this environment (no
+# sdsl, no network) -- flagged in docs/PARITY.md.  Reading still tolerates
+# absent select blocks (our pre-round-2 files).
 
 def _bits_hi(x: int) -> int:
     """sdsl bits::hi — index of the highest set bit (0 for x == 0)."""
@@ -321,9 +341,91 @@ def decode_sdsl_bit_vector(raw: bytes, off: int = 0) -> tuple[np.ndarray, int]:
             off + 8 + 8 * n_words)
 
 
-def encode_sd_vector(positions: np.ndarray, size: int) -> bytes:
+_SELECT_SB = 4096  # arguments per superblock (select_support_mcl.hpp)
+
+
+def _mcl_logn(nbits: int) -> int:
+    """select_support_mcl m_logn: hi of nbits rounded up to a 64-bit word."""
+    return _bits_hi(((nbits + 63) >> 6) << 6) + 1
+
+
+def encode_select_support_mcl(bits: np.ndarray, pattern: int = 1) -> bytes:
+    """Serialize a select_support_mcl<pattern,1> over a plain bit vector
+    (layout per the module comment; construction semantics per sdsl-lite
+    select_support_mcl.hpp init_slow)."""
+    b = np.asarray(bits, dtype=bool)
+    args = np.flatnonzero(b if pattern else ~b).astype(np.uint64)
+    head = np.array([args.size], dtype="<u8").tobytes()
+    if args.size == 0:
+        return head
+    logn = _mcl_logn(b.size)
+    logn4 = logn ** 4
+    sb = (args.size + _SELECT_SB - 1) // _SELECT_SB
+    is_long = np.zeros(sb, dtype=bool)
+    blocks = []
+    for i in range(sb):
+        blk = args[i * _SELECT_SB:(i + 1) * _SELECT_SB]
+        span = int(blk[-1] - blk[0])
+        if span > logn4:
+            is_long[i] = True
+            vals = np.zeros(_SELECT_SB, dtype=np.uint64)
+            vals[:blk.size] = blk  # absolute positions, zero-padded tail
+            blocks.append(encode_sdsl_int_vector(vals, _bits_hi(int(blk[-1])) + 1))
+        else:
+            vals = np.zeros(64, dtype=np.uint64)
+            rel = blk[::64] - blk[0]  # every 64th argument, relative
+            vals[:rel.size] = rel
+            blocks.append(encode_sdsl_int_vector(vals, _bits_hi(span) + 1))
+    mini_or_long = is_long if is_long.any() else np.zeros(0, dtype=bool)
+    return (head + encode_sdsl_int_vector(args[::_SELECT_SB], logn)
+            + encode_sdsl_bit_vector(mini_or_long) + b"".join(blocks))
+
+
+def decode_select_support_mcl(raw: bytes, off: int = 0) -> tuple[dict, int]:
+    """Parse one select_support_mcl frame; returns (structure, next offset)."""
+    arg_cnt = int(np.frombuffer(raw[off:off + 8], dtype="<u8")[0])
+    off += 8
+    if arg_cnt == 0:
+        return {"arg_cnt": 0, "superblock": np.empty(0, np.uint64),
+                "is_long": np.empty(0, bool), "blocks": []}, off
+    superblock, _, off = decode_sdsl_int_vector(raw, off)
+    is_long, off = decode_sdsl_bit_vector(raw, off)
+    sb = (arg_cnt + _SELECT_SB - 1) // _SELECT_SB
+    blocks = []
+    for _ in range(sb):
+        v, _, off = decode_sdsl_int_vector(raw, off)
+        blocks.append(v)
+    return {"arg_cnt": arg_cnt, "superblock": superblock,
+            "is_long": is_long, "blocks": blocks}, off
+
+
+def select_support_mcl_query(st: dict, bits: np.ndarray, i: int,
+                             pattern: int = 1) -> int:
+    """The select_support_mcl::select algorithm over a decoded frame: 1-based
+    i-th occurrence of `pattern` in `bits`.  Used to prove emitted structures
+    are algorithmically valid (what sdsl's loaded query code would compute)."""
+    if not (1 <= i <= st["arg_cnt"]):
+        raise ValueError("select index out of range")
+    i -= 1
+    sb_idx, offset = i >> 12, i & 0xFFF
+    if st["is_long"].size and st["is_long"][sb_idx]:
+        return int(st["blocks"][sb_idx][offset])
+    pos = int(st["superblock"][sb_idx]) + int(st["blocks"][sb_idx][offset >> 6])
+    rem = offset & 0x3F
+    v = np.asarray(bits, dtype=bool)
+    if not pattern:
+        v = ~v
+    while rem:  # forward word scan in sdsl; linear here (verifier only)
+        pos += 1
+        rem -= int(v[pos])
+    return pos
+
+
+def encode_sd_vector(positions: np.ndarray, size: int,
+                     with_select: bool = True) -> bytes:
     """Elias-Fano encode sorted bit positions over a length-`size` vector
-    (sd_vector core layout; see module comment)."""
+    (sd_vector layout incl. the high-vector select_1/select_0 supports; see
+    module comment)."""
     pos = np.asarray(positions, dtype=np.uint64)
     if pos.size and (int(pos.max()) >= size or np.any(np.diff(pos.astype(np.int64)) <= 0)):
         raise ValueError("positions must be strictly increasing and < size")
@@ -336,8 +438,12 @@ def encode_sd_vector(positions: np.ndarray, size: int) -> bytes:
     low = pos & np.uint64((1 << wl) - 1)
     high = np.zeros(m + (1 << logm), dtype=bool)
     high[(pos >> np.uint64(wl)).astype(np.int64) + np.arange(m)] = True
-    return (np.array([size], dtype="<u8").tobytes() + np.uint8(wl).tobytes()
+    core = (np.array([size], dtype="<u8").tobytes() + np.uint8(wl).tobytes()
             + encode_sdsl_int_vector(low, wl) + encode_sdsl_bit_vector(high))
+    if with_select:
+        core += (encode_select_support_mcl(high, 1)
+                 + encode_select_support_mcl(high, 0))
+    return core
 
 
 def decode_sd_vector(raw: bytes, off: int = 0) -> tuple[np.ndarray, int, int]:

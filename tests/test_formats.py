@@ -180,10 +180,18 @@ def test_sdsl_int_vector_roundtrip(rng):
 def test_sd_vector_roundtrip(rng):
     for size, m in ((1, 0), (10, 1), (64, 64), (1000, 37), (1 << 20, 4096)):
         positions = np.sort(rng.choice(size, m, replace=False)).astype(np.uint64)
-        buf = F.encode_sd_vector(positions, size)
-        pos, sz, off = F.decode_sd_vector(buf)
-        assert sz == size and off == len(buf)
+        core = F.encode_sd_vector(positions, size, with_select=False)
+        pos, sz, off = F.decode_sd_vector(core)
+        assert sz == size and off == len(core)
         np.testing.assert_array_equal(pos, positions.astype(np.int64))
+        # the default (sdsl-loadable) frame appends exactly two select blocks
+        full = F.encode_sd_vector(positions, size)
+        assert full[:len(core)] == core
+        pos, sz, off = F.decode_sd_vector(full)
+        np.testing.assert_array_equal(pos, positions.astype(np.int64))
+        off = F.skip_select_support_mcl(full, off)
+        off = F.skip_select_support_mcl(full, off)
+        assert off == len(full)
 
 
 def test_sd_vector_wl_matches_sdsl_formula():
@@ -199,7 +207,7 @@ def test_sd_vector_wl_matches_sdsl_formula():
 
 def test_sd_vector_reader_skips_trailing_select_blocks():
     positions = np.array([2, 5, 11], dtype=np.uint64)
-    core = F.encode_sd_vector(positions, 32)
+    core = F.encode_sd_vector(positions, 32, with_select=False)
     # fabricate two empty select_support_mcl frames (arg_cnt = 0)
     raw = core + np.zeros(2, dtype="<u8").tobytes()
     pos, size, off = F.decode_sd_vector(raw)
@@ -207,6 +215,58 @@ def test_sd_vector_reader_skips_trailing_select_blocks():
     off = F.skip_select_support_mcl(raw, off)
     off = F.skip_select_support_mcl(raw, off)
     assert off == len(raw)
+
+
+def _check_select_frame(bits, pattern, rng):
+    """Emit a select_support_mcl frame and prove every query answer (plus a
+    random sample when there are many) equals the true position."""
+    buf = F.encode_select_support_mcl(bits, pattern)
+    st, off = F.decode_select_support_mcl(buf)
+    assert off == len(buf)
+    truth = np.flatnonzero(bits if pattern else ~np.asarray(bits, bool))
+    assert st["arg_cnt"] == truth.size
+    if truth.size == 0:
+        return
+    qs = range(1, truth.size + 1) if truth.size <= 512 else np.unique(
+        np.r_[1, truth.size, rng.integers(1, truth.size + 1, 256)])
+    for i in qs:
+        assert F.select_support_mcl_query(st, bits, int(i), pattern) == truth[i - 1]
+
+
+def test_select_support_mcl_mini_blocks(rng):
+    """Dense vectors stay under the logn**4 span threshold: mini blocks,
+    empty mini_or_long indicator (select_support_mcl.hpp serialize)."""
+    for size in (1, 63, 64, 65, 4096, 9000):
+        bits = rng.random(size) < 0.5
+        for pattern in (1, 0):
+            _check_select_frame(bits, pattern, rng)
+    # all-zeros / all-ones edges
+    _check_select_frame(np.zeros(100, bool), 1, rng)
+    _check_select_frame(np.ones(100, bool), 1, rng)
+
+
+def test_select_support_mcl_long_blocks(rng):
+    """A superblock spanning > logn**4 positions must serialize as a long
+    block holding absolute positions (partial last superblock included)."""
+    size = 1 << 21  # logn = 21+ -> logn**4 ~ 2e5 << spans below
+    bits = np.zeros(size, bool)
+    ones = np.sort(rng.choice(size, 5000, replace=False))  # avg gap ~420
+    bits[ones] = True
+    buf = F.encode_select_support_mcl(bits, 1)
+    st, off = F.decode_select_support_mcl(buf)
+    assert off == len(buf)
+    assert st["is_long"].size and st["is_long"].all()  # sparse -> long blocks
+    _check_select_frame(bits, 1, rng)
+    _check_select_frame(bits, 0, rng)  # zeros are dense -> mini blocks
+
+
+def test_select_support_mcl_superblock_boundaries(rng):
+    """arg_cnt an exact multiple of 4096 and one past it."""
+    for m in (4096, 4097, 8192):
+        size = 3 * m
+        bits = np.zeros(size, bool)
+        bits[np.sort(rng.choice(size, m, replace=False))] = True
+        _check_select_frame(bits, 1, rng)
 
 
 def test_fl_table_file_roundtrip(tmp_path, rng):
