@@ -18,6 +18,26 @@ Gather cost on TPU is per *index*, width-free (docs/DESIGN_NOTES.md), so the
 wide row — 17 int32 columns instead of 16 — still costs ONE gather per read
 per character; large-n querying runs at narrow-engine speed.
 
+TABLE BUILD IS ON DEVICE.  The table is (sigma+1)*r x 17 int32 — 6.2 GB at
+r = 15.2M — and materializing it on host then shipping it OOMed a 16 GB chip
+(the chunked upload concatenated on device: 2x peak) and would cost minutes
+on a slow transfer path.  Instead only the r-sized per-run arrays travel
+(9 x 4 B/run), the per-char jump rows are recomputed on device (cummax /
+reverse-cummin over the char array), the succ/pred landing runs are resolved
+with the same statically-bounded LF fast-forward the engine uses (run
+splitting bounds every LF image span to ff_bound runs, so the host
+searchsorted is unnecessary), and each char block lands in a DONATED
+preallocated buffer — peak device memory is the table plus O(r) temps.
+
+Two layouts:
+
+- full (default): one ((sigma+1)*r, 17) table, ONE gather per step;
+- compact: the 7 char-independent columns (char/cid/LF dest) live once in a
+  (r, 8)-padded shared table and only the 10 threshold_step columns replicate
+  per char ((sigma+1)*r, 10) — 34% smaller at sigma = 5, two gathers per
+  step.  Chosen automatically when the full table would not fit the HBM
+  budget (utils/hbm).
+
 Semantics are identical to ops.query_mega / the int64 NumPy oracle
 (col_pml::_query_pml, include/col_bwt.hpp:498-574), differential-tested on
 scaled move tables with n > 2**31.
@@ -36,12 +56,21 @@ from colbwt_tpu.models.index import MAX_WIDE_RUN_LEN, ColPmlIndex
 NO_STATE = -1
 LIMB = 2**30
 
-# wide mega-row column layout
+# wide mega-row column layout (full table)
 _MATCH, _CID, _DI0, _DOFF0, _LF_LO, _LF_HI, _DLEN0 = range(7)
 _THR_LO, _THR_HI = 7, 8
 _S_INT, _S_OFF, _S_LO, _S_HI = 9, 10, 11, 12
 _P_INT, _P_OFF, _P_LO, _P_HI = 13, 14, 15, 16
 _WIDTH = 17
+
+# compact layout: shared (char-independent) columns, padded to 8 for layout
+_SH_CHAR, _SH_CID, _SH_DI0, _SH_DOFF0, _SH_LF_LO, _SH_LF_HI, _SH_DLEN0 = range(7)
+_SH_WIDTH = 8
+# compact per-char columns (threshold_step operands only)
+_PC_THR_LO, _PC_THR_HI = 0, 1
+_PC_S_INT, _PC_S_OFF, _PC_S_LO, _PC_S_HI = 2, 3, 4, 5
+_PC_P_INT, _PC_P_OFF, _PC_P_LO, _PC_P_HI = 6, 7, 8, 9
+_PC_WIDTH = 10
 
 
 def _limbs(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -49,13 +78,191 @@ def _limbs(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return ((v % LIMB).astype(np.int32), (v // LIMB).astype(np.int32))
 
 
-def build_mega_table_wide(index: ColPmlIndex) -> dict:
+def wide_table_bytes(index: ColPmlIndex, compact: bool = False) -> int:
+    blocks = index.sigma + 1
+    r = index.r
+    if compact:
+        return 4 * r * (_SH_WIDTH + blocks * _PC_WIDTH)
+    return 4 * blocks * r * _WIDTH
+
+
+# ---------------------------------------------------------------------------
+# device-side block computation (shared by full and compact builders)
+
+def _device_block_cols(c, char, col_id, di, doff, length, idx_lo, idx_hi,
+                       thr_lo, thr_hi, n_lo, n_hi, ff_bound: int):
+    """All 17 column vectors of char block `c`, computed from the r-sized
+    per-run arrays.  succ/pred landing states use the same statically
+    bounded LF fast-forward as the query step (run splitting guarantees
+    every LF image spans <= ff_bound runs — include/ds/LF_table.hpp:251-262
+    semantics with the Movi-style bound [inferred])."""
+    r = char.shape[0]
+    rows_i = jax.lax.iota(jnp.int32, r)
+
+    match = (char == c).astype(jnp.int32)
+    # LF at offset 0 of each run: pos limbs + destination run/offset
+    lf_lo0 = jnp.take(idx_lo, di, mode="clip") + doff
+    carry = (lf_lo0 >= LIMB).astype(jnp.int32)
+    lf_lo0 = lf_lo0 - carry * LIMB
+    lf_hi0 = jnp.take(idx_hi, di, mode="clip") + carry
+    dlen0 = jnp.take(length, di, mode="clip")
+
+    # per-char jump rows (models/index.py pred_jump/succ_jump, recomputed):
+    # succ = first c-run at or after, pred = last c-run at or before
+    is_c = char == c
+    s_run = jax.lax.cummin(jnp.where(is_c, rows_i, r), axis=0, reverse=True)
+    p_run = jax.lax.cummax(jnp.where(is_c, rows_i, NO_STATE), axis=0)
+    has_succ = s_run < r
+    has_pred = p_run >= 0
+
+    sr = jnp.minimum(s_run, r - 1)
+    t_lo = jnp.where(has_succ, jnp.take(thr_lo, sr, mode="clip"), n_lo)
+    t_hi = jnp.where(has_succ, jnp.take(thr_hi, sr, mode="clip"), n_hi)
+
+    def resolve(start_run, start_off, ok):
+        """Landing state of LF(start_run, start_off): run, offset, pos limbs.
+        pos = idx[dest] + (doff[start] + start_off) is invariant under the
+        fast-forward, so the limbs are computed once."""
+        run0 = jnp.where(ok, start_run, 0)
+        d = jnp.take(di, run0, mode="clip")
+        o = jnp.take(doff, run0, mode="clip") + start_off
+        lo = jnp.take(idx_lo, d, mode="clip") + o
+        cr = (lo >= LIMB).astype(jnp.int32)
+        lo = lo - cr * LIMB
+        hi = jnp.take(idx_hi, d, mode="clip") + cr
+        ln = jnp.take(length, d, mode="clip")
+        over = o >= ln
+        d = d + over.astype(jnp.int32)
+        o = o - jnp.where(over, ln, 0)
+        for _ in range(ff_bound - 2):
+            ln = jnp.take(length, d, mode="clip")
+            over = o >= ln
+            d = d + over.astype(jnp.int32)
+            o = o - jnp.where(over, ln, 0)
+        return (jnp.where(ok, d, NO_STATE), jnp.where(ok, o, 0),
+                jnp.where(ok, lo, 0), jnp.where(ok, hi, 0))
+
+    s_int, s_off, s_lo, s_hi = resolve(sr, jnp.zeros((), jnp.int32), has_succ)
+    pr = jnp.maximum(p_run, 0)
+    p_int, p_off, p_lo, p_hi = resolve(
+        pr, jnp.take(length, pr, mode="clip") - 1, has_pred)
+
+    return (match, col_id, di, doff, lf_lo0, lf_hi0, dlen0,
+            t_lo, t_hi, s_int, s_off, s_lo, s_hi, p_int, p_off, p_lo, p_hi)
+
+
+@functools.partial(jax.jit, static_argnames=("ff_bound",),
+                   donate_argnums=(0,))
+def _fill_block_full(buf, c, char, col_id, di, doff, length, idx_lo, idx_hi,
+                     thr_lo, thr_hi, n_lo, n_hi, ff_bound: int):
+    cols = _device_block_cols(c, char, col_id, di, doff, length, idx_lo,
+                              idx_hi, thr_lo, thr_hi, n_lo, n_hi, ff_bound)
+    block = jnp.stack(cols, axis=1)
+    r = char.shape[0]
+    return jax.lax.dynamic_update_slice(buf, block, (c * r, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("ff_bound",),
+                   donate_argnums=(0,))
+def _fill_block_compact(buf, c, char, col_id, di, doff, length, idx_lo,
+                        idx_hi, thr_lo, thr_hi, n_lo, n_hi, ff_bound: int):
+    cols = _device_block_cols(c, char, col_id, di, doff, length, idx_lo,
+                              idx_hi, thr_lo, thr_hi, n_lo, n_hi, ff_bound)
+    block = jnp.stack(cols[7:], axis=1)  # threshold_step columns only
+    r = char.shape[0]
+    return jax.lax.dynamic_update_slice(buf, block, (c * r, 0))
+
+
+@jax.jit
+def _shared_table(char, col_id, di, doff, length, idx_lo, idx_hi):
+    lf_lo0 = jnp.take(idx_lo, di, mode="clip") + doff
+    carry = (lf_lo0 >= LIMB).astype(jnp.int32)
+    lf_lo0 = lf_lo0 - carry * LIMB
+    lf_hi0 = jnp.take(idx_hi, di, mode="clip") + carry
+    dlen0 = jnp.take(length, di, mode="clip")
+    pad = jnp.zeros_like(char)
+    return jnp.stack([char, col_id, di, doff, lf_lo0, lf_hi0, dlen0, pad],
+                     axis=1)
+
+
+def _check_wide_buildable(index: ColPmlIndex) -> None:
     if index.ff_bound < 2:
         raise ValueError("mega engine requires a run-split index "
                          "(ColPmlIndex.build(tbl, ff_bound=2))")
     if int(index.length.max(initial=0)) > MAX_WIDE_RUN_LEN:
         raise ValueError("run lengths must be <= 2**29 for limb arithmetic; "
                          "build with ColPmlIndex.build")
+
+
+def _device_run_arrays(index: ColPmlIndex):
+    """Upload the r-sized per-run arrays (the only host->device traffic)."""
+    from colbwt_tpu.utils.xfer import device_put_chunked
+
+    idx_lo, idx_hi = _limbs(index.idx)
+    thr_lo, thr_hi = _limbs(index.threshold)
+    put = device_put_chunked
+    return (put(index.char.astype(np.int32)),
+            put(index.col_id.astype(np.int32)),
+            put(index.dest_interval.astype(np.int32)),
+            put(index.dest_offset.astype(np.int32)),
+            put(index.length.astype(np.int32)),
+            put(idx_lo), put(idx_hi), put(thr_lo), put(thr_hi))
+
+
+def _meta(index: ColPmlIndex) -> dict:
+    n, r = index.n, index.r
+    n_lo, n_hi = _limbs(np.array([n]))
+    last_lo, last_hi = _limbs(np.array([n - 1]))
+    return {
+        "n_lo": jnp.int32(int(n_lo[0])), "n_hi": jnp.int32(int(n_hi[0])),
+        "pos0_lo": jnp.int32(int(last_lo[0])),
+        "pos0_hi": jnp.int32(int(last_hi[0])),
+        "r": jnp.int32(r),
+        "last_len": jnp.int32(int(index.length[r - 1])),
+    }
+
+
+def build_mega_table_wide(index: ColPmlIndex, compact: bool | None = None,
+                          hbm_budget_bytes: int | None = None) -> dict:
+    """Assemble the wide mega table on device.  compact=None auto-selects:
+    full layout when it fits the HBM budget (utils/hbm), else compact."""
+    _check_wide_buildable(index)
+    if compact is None:
+        if hbm_budget_bytes is None:
+            from colbwt_tpu.utils.hbm import resolve_pos_budget
+            hbm_budget_bytes = resolve_pos_budget(0)
+        compact = wide_table_bytes(index, compact=False) > hbm_budget_bytes
+    r = index.r
+    sigma = index.sigma
+    arrays = _device_run_arrays(index)
+    char, col_id, di, doff, length = arrays[:5]
+    meta = _meta(index)
+    n_lo, n_hi = meta["n_lo"], meta["n_hi"]
+
+    if not compact:
+        buf = jnp.zeros(((sigma + 1) * r, _WIDTH), dtype=jnp.int32)
+        for c in range(sigma + 1):
+            buf = _fill_block_full(buf, jnp.int32(c), *arrays, n_lo, n_hi,
+                                   ff_bound=index.ff_bound)
+        out = {"mega": buf}
+    else:
+        buf = jnp.zeros(((sigma + 1) * r, _PC_WIDTH), dtype=jnp.int32)
+        for c in range(sigma + 1):
+            buf = _fill_block_compact(buf, jnp.int32(c), *arrays, n_lo, n_hi,
+                                      ff_bound=index.ff_bound)
+        out = {"shared": _shared_table(char, col_id, di, doff, length,
+                                       *arrays[5:7]),
+               "percha": buf}
+    out["length"] = length
+    out.update(meta)
+    return out
+
+
+def build_mega_rows_wide_host(index: ColPmlIndex) -> np.ndarray:
+    """Host-side ((sigma+1)*r, 17) wide mega rows — used by the sharded-wide
+    engine (parallel/query_sharded_mega_wide.py places slices on a mesh) and
+    as the differential oracle for the on-device builder."""
+    _check_wide_buildable(index)
     r, n = index.r, index.n
     char = index.char.astype(np.int64)
     col_id = index.col_id.astype(np.int64)
@@ -102,20 +309,7 @@ def build_mega_table_wide(index: ColPmlIndex) -> dict:
         p_int, p_off, p_pos = resolve(p_run, length[p_run] - 1, has_pred)
         blk[:, _P_INT], blk[:, _P_OFF] = p_int, p_off
         blk[:, _P_LO], blk[:, _P_HI] = _limbs(p_pos)
-
-    from colbwt_tpu.utils.xfer import device_put_chunked
-
-    n_lo, n_hi = _limbs(np.array([n]))
-    last_lo, last_hi = _limbs(np.array([n - 1]))
-    return {
-        "mega": device_put_chunked(mega),
-        "length": jnp.asarray(length.astype(np.int32)),
-        "n_lo": jnp.int32(int(n_lo[0])), "n_hi": jnp.int32(int(n_hi[0])),
-        "pos0_lo": jnp.int32(int(last_lo[0])),
-        "pos0_hi": jnp.int32(int(last_hi[0])),
-        "r": jnp.int32(r),
-        "last_len": jnp.int32(int(length[r - 1])),
-    }
+    return mega
 
 
 def initial_state_wide(mt: dict, batch: int):
@@ -142,10 +336,12 @@ def query_chunk_mega_wide(mt: dict, patterns: jnp.ndarray,
                           ff_bound: int = 2, masked: bool = True):
     """One chunk of the backward scan, carried state, limb positions.
     Mirrors ops.query_mega.query_chunk_mega exactly apart from the limb
-    arithmetic; see that docstring for masked/ff_bound semantics."""
+    arithmetic; see that docstring for masked/ff_bound semantics.  Handles
+    both table layouts: full (one 17-column gather per step) and compact
+    (a shared 8-column gather + a per-char 10-column gather)."""
     B, M = patterns.shape
     r = mt["r"]
-    mega = mt["mega"]
+    compact = "shared" in mt
     length_arr = mt["length"]
     n_lo, n_hi = mt["n_lo"], mt["n_hi"]
 
@@ -157,19 +353,42 @@ def query_chunk_mega_wide(mt: dict, patterns: jnp.ndarray,
         c, i = xs
         valid = i < lengths
 
-        rows = jnp.take(mega, c * r + interval, axis=0, mode="clip")  # 1 gather
-        match = rows[:, _MATCH] == 1
-        cid_out = rows[:, _CID]
+        if compact:
+            sh = jnp.take(mt["shared"], interval, axis=0, mode="clip")
+            pc = jnp.take(mt["percha"], c * r + interval, axis=0, mode="clip")
+            match = sh[:, _SH_CHAR] == c
+            cid_out = sh[:, _SH_CID]
+            di0, doff0 = sh[:, _SH_DI0], sh[:, _SH_DOFF0]
+            lf_lo_b, lf_hi_b = sh[:, _SH_LF_LO], sh[:, _SH_LF_HI]
+            dlen0 = sh[:, _SH_DLEN0]
+            thr_lo, thr_hi = pc[:, _PC_THR_LO], pc[:, _PC_THR_HI]
+            s_int, s_off = pc[:, _PC_S_INT], pc[:, _PC_S_OFF]
+            s_lo, s_hi = pc[:, _PC_S_LO], pc[:, _PC_S_HI]
+            p_int, p_off = pc[:, _PC_P_INT], pc[:, _PC_P_OFF]
+            p_lo, p_hi = pc[:, _PC_P_LO], pc[:, _PC_P_HI]
+        else:
+            rows = jnp.take(mt["mega"], c * r + interval, axis=0,
+                            mode="clip")  # 1 gather
+            match = rows[:, _MATCH] == 1
+            cid_out = rows[:, _CID]
+            di0, doff0 = rows[:, _DI0], rows[:, _DOFF0]
+            lf_lo_b, lf_hi_b = rows[:, _LF_LO], rows[:, _LF_HI]
+            dlen0 = rows[:, _DLEN0]
+            thr_lo, thr_hi = rows[:, _THR_LO], rows[:, _THR_HI]
+            s_int, s_off = rows[:, _S_INT], rows[:, _S_OFF]
+            s_lo, s_hi = rows[:, _S_LO], rows[:, _S_HI]
+            p_int, p_off = rows[:, _P_INT], rows[:, _P_OFF]
+            p_lo, p_hi = rows[:, _P_LO], rows[:, _P_HI]
 
         # match / no-reposition path: LF + fast-forward
-        doff = rows[:, _DOFF0] + offset
-        lf_lo = rows[:, _LF_LO] + offset
+        doff = doff0 + offset
+        lf_lo = lf_lo_b + offset
         carry = (lf_lo >= LIMB).astype(jnp.int32)
         lf_lo = lf_lo - carry * LIMB
-        lf_hi = rows[:, _LF_HI] + carry
-        over = doff >= rows[:, _DLEN0]
-        di = rows[:, _DI0] + over.astype(jnp.int32)
-        doff = doff - jnp.where(over, rows[:, _DLEN0], 0)
+        lf_hi = lf_hi_b + carry
+        over = doff >= dlen0
+        di = di0 + over.astype(jnp.int32)
+        doff = doff - jnp.where(over, dlen0, 0)
         for _ in range(ff_bound - 2):
             ln = jnp.take(length_arr, di, mode="clip")
             over = doff >= ln
@@ -178,21 +397,20 @@ def query_chunk_mega_wide(mt: dict, patterns: jnp.ndarray,
 
         # threshold_step (include/col_bwt.hpp:531-574): pred if pos < thr and
         # one exists; else succ if one exists (thr == n encodes "none")
-        thr_lo, thr_hi = rows[:, _THR_LO], rows[:, _THR_HI]
         use_pred = _lt(pos_hi, pos_lo, thr_hi, thr_lo)
-        has_pred = rows[:, _P_INT] >= 0
+        has_pred = p_int >= 0
         has_succ = _lt(thr_hi, thr_lo, n_hi, n_lo)
         take_pred = (~match) & use_pred & has_pred
         take_succ = (~match) & (~take_pred) & has_succ
 
-        new_interval = jnp.where(take_pred, rows[:, _P_INT],
-                                 jnp.where(take_succ, rows[:, _S_INT], di))
-        new_offset = jnp.where(take_pred, rows[:, _P_OFF],
-                               jnp.where(take_succ, rows[:, _S_OFF], doff))
-        new_lo = jnp.where(take_pred, rows[:, _P_LO],
-                           jnp.where(take_succ, rows[:, _S_LO], lf_lo))
-        new_hi = jnp.where(take_pred, rows[:, _P_HI],
-                           jnp.where(take_succ, rows[:, _S_HI], lf_hi))
+        new_interval = jnp.where(take_pred, p_int,
+                                 jnp.where(take_succ, s_int, di))
+        new_offset = jnp.where(take_pred, p_off,
+                               jnp.where(take_succ, s_off, doff))
+        new_lo = jnp.where(take_pred, p_lo,
+                           jnp.where(take_succ, s_lo, lf_lo))
+        new_hi = jnp.where(take_pred, p_hi,
+                           jnp.where(take_succ, s_hi, lf_hi))
         new_len = jnp.where(match, mlen + 1, 0)
 
         if not masked:

@@ -65,7 +65,8 @@ class QueryEngines:
         if self.use_wide:
             from colbwt_tpu.ops import query_mega_wide
 
-            self.mt = query_mega_wide.build_mega_table_wide(index)
+            self.mt = query_mega_wide.build_mega_table_wide(
+                index, hbm_budget_bytes=budget)
         else:
             self.mt = (query_mega.build_mega_table(index)
                        if self.use_mega else None)

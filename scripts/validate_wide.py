@@ -66,8 +66,9 @@ def main():
     N = args.docs
     L = args.doc_len
     n = (L + 1) * N
-    log(f"n = {n:,} over {N} docs ({'WIDE' if n > 2**31 else 'narrow'})")
-    assert n > 2**31, "shape must exceed 2**31 for the wide lane"
+    wide_real = n > 2**31
+    log(f"n = {n:,} over {N} docs "
+        f"({'WIDE' if wide_real else 'narrow (forced-wide smoke)'})")
 
     base = rng.choice(ACGT, L)
     text = np.empty(n, dtype=np.uint8)
@@ -111,60 +112,100 @@ def main():
         gc.collect()
         np.save(lcp_f, lcp32)
 
-    # --- RLBWT -------------------------------------------------------------
-    t = time.perf_counter()
-    bwt = text[sa - 1]
-    heads, lens = native.rle_encode(bwt)
-    del bwt
-    gc.collect()
+    # --- RLBWT (cached) -----------------------------------------------------
+    rle_f = wd / "rle.npz"
+    if rle_f.exists():
+        z = np.load(rle_f)
+        heads, lens = z["heads"], z["lens"]
+        log("RLE loaded from cache")
+    else:
+        t = time.perf_counter()
+        bwt = text[sa - 1]
+        heads, lens = native.rle_encode(bwt)
+        del bwt
+        gc.collect()
+        np.savez(rle_f, heads=heads, lens=lens)
+        log(f"RLE: {time.perf_counter() - t:.0f}s")
     r = heads.size
-    log(f"RLE: {time.perf_counter() - t:.0f}s  r = {r:,}  n/r = {n / r:.1f}")
+    log(f"r = {r:,}  n/r = {n / r:.1f}")
 
-    # --- multi-MUMs (device, chunked) + thresholds (host) ------------------
-    t = time.perf_counter()
-    doc_of = (sa // (L + 1)).astype(np.int32)  # uniform doc length layout
-    run_change = np.ones(n, dtype=np.uint8)
-    prev = ranks[sa - 1]
-    np.not_equal(prev[1:], prev[:-1], out=run_change[1:].view(bool))
-    del prev
-    gc.collect()
-    ml, mp = CJ.find_multi_mums_chunked(lcp32, doc_of, run_change, N,
-                                        args.min_mum)
-    del doc_of, run_change, ranks, sa
-    gc.collect()
-    log(f"multi-MUM scan: {time.perf_counter() - t:.0f}s  mums = {ml.size:,}")
+    # --- multi-MUMs (device, chunked) + thresholds (host), cached ----------
+    mums_f = wd / "mums.npz"
+    if mums_f.exists():
+        z = np.load(mums_f)
+        ml, mp = z["ml"], z["mp"]
+        del ranks, sa
+        gc.collect()
+        log("multi-MUMs loaded from cache")
+    else:
+        t = time.perf_counter()
+        doc_of = (sa // (L + 1)).astype(np.int32)  # uniform doc layout
+        run_change = np.ones(n, dtype=np.uint8)
+        prev = ranks[sa - 1]
+        np.not_equal(prev[1:], prev[:-1], out=run_change[1:].view(bool))
+        del prev
+        gc.collect()
+        ml, mp = CJ.find_multi_mums_chunked(lcp32, doc_of, run_change, N,
+                                            args.min_mum)
+        del doc_of, run_change, ranks, sa
+        gc.collect()
+        np.savez(mums_f, ml=ml, mp=mp)
+        log(f"multi-MUM scan: {time.perf_counter() - t:.0f}s  "
+            f"mums = {ml.size:,}")
 
-    t = time.perf_counter()
-    # thresholds consume int64 LCP values; positions exceed 2**31 (wide)
-    thr = O.compute_thresholds_fast(heads, lens, lcp32)
-    log(f"thresholds: {time.perf_counter() - t:.0f}s")
+    thr_f = wd / "thr.npy"
+    if thr_f.exists():
+        thr = np.load(thr_f)
+        log("thresholds loaded from cache")
+    else:
+        t = time.perf_counter()
+        # thresholds consume int64 LCP values; positions exceed 2**31 (wide)
+        thr = O.compute_thresholds_fast(heads, lens, lcp32)
+        np.save(thr_f, thr)
+        log(f"thresholds: {time.perf_counter() - t:.0f}s")
     del lcp32
     gc.collect()
 
-    # --- col-split (host int64 tunneled walk) ------------------------------
-    t = time.perf_counter()
-    fl = O.build_fl_table(heads, lens)
-    mpos, mids, mhts = col_split_tunneled_numpy(fl, ml, mp, N,
-                                                args.split_rate)
-    log(f"col-split: {time.perf_counter() - t:.0f}s  marks = {mpos.size:,}")
-    t = time.perf_counter()
-    if mpos.size:
-        bits, ids = find_col_runs_uniform(mpos, mids, N, fl.l_heads, fl.n)
+    # --- col-split (host int64 tunneled walk), cached ------------------------
+    colruns_f = wd / "colruns.npz"
+    if colruns_f.exists():
+        z = np.load(colruns_f)
+        bits, ids = z["bits"], z["ids"]
+        log("col-runs loaded from cache")
     else:
-        bits = np.empty(0, np.int64)
-        ids = np.empty(0, np.int64)
-    del fl
-    gc.collect()
-    log(f"find_col_runs: {time.perf_counter() - t:.0f}s  bits = {bits.size:,}")
+        t = time.perf_counter()
+        fl = O.build_fl_table(heads, lens)
+        mpos, mids, mhts = col_split_tunneled_numpy(fl, ml, mp, N,
+                                                    args.split_rate)
+        log(f"col-split: {time.perf_counter() - t:.0f}s  "
+            f"marks = {mpos.size:,}")
+        t = time.perf_counter()
+        if mpos.size:
+            bits, ids = find_col_runs_uniform(mpos, mids, N, fl.l_heads, fl.n)
+        else:
+            bits = np.empty(0, np.int64)
+            ids = np.empty(0, np.int64)
+        del fl
+        gc.collect()
+        np.savez(colruns_f, bits=bits, ids=ids)
+        log(f"find_col_runs: {time.perf_counter() - t:.0f}s  "
+            f"bits = {bits.size:,}")
 
-    # --- index (run-split, wide layout) ------------------------------------
+    # --- index (run-split, wide layout); tbl always rebuilt (C++ check) ----
     t = time.perf_counter()
     tbl = O.build_col_pml(heads, lens, bits, ids, thr)
-    index = ColPmlIndex.build(tbl, ff_bound=2)
-    assert index.wide and index.idx.dtype == np.int64
+    index_f = wd / "index.npz"
+    if index_f.exists():
+        index = ColPmlIndex.load(index_f)
+        log(f"index loaded from cache (col_pml rebuild "
+            f"{time.perf_counter() - t:.0f}s)")
+    else:
+        index = ColPmlIndex.build(tbl, ff_bound=2, wide=True)
+        index.save(index_f)
     log(f"col_pml+split: {time.perf_counter() - t:.0f}s  r' = {index.r:,}  "
         f"index bytes = {index.nbytes() / 1e9:.1f} GB  "
         f"build total = {time.perf_counter() - t_all:.0f}s")
+    assert index.wide and index.idx.dtype == np.int64
 
     # --- reads (sampled from the concatenation, separator-free) ------------
     reads = []
@@ -186,9 +227,13 @@ def main():
 
     t = time.perf_counter()
     mt = query_mega_wide.build_mega_table_wide(index)
-    _ = int(np.asarray(mt["mega"][:2, 0]).sum())
-    log(f"mega-wide table: {time.perf_counter() - t:.0f}s "
-        f"({mt['mega'].nbytes / 1e9:.1f} GB on device)")
+    tab = mt["mega"] if "mega" in mt else mt["percha"]
+    _ = int(np.asarray(tab[:2, 0]).sum())
+    tab_bytes = sum(v.nbytes for k, v in mt.items()
+                    if k in ("mega", "shared", "percha"))
+    log(f"mega-wide table ({'full' if 'mega' in mt else 'compact'}, "
+        f"built on device): {time.perf_counter() - t:.0f}s "
+        f"({tab_bytes / 1e9:.1f} GB on device)")
 
     M = args.read_len
     enc, lens_ = index.encode_patterns(reads, max_len=M)
@@ -221,8 +266,12 @@ def main():
         m = int(lens_[b])
         np.testing.assert_array_equal(p[b, M - m:], pml_cpp[b])
         np.testing.assert_array_equal(c[b, M - m:], cid_cpp[b])
+    import resource
+
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     log(f"EXACT MATCH on {args.check} reads (wide device vs C++) at "
-        f"n = {n:,} > 2**31")
+        f"n = {n:,}{' > 2**31' if wide_real else ' (forced-wide smoke)'}")
+    log(f"peak host RSS: {rss:.1f} GB")
     log("wide validation done")
 
 

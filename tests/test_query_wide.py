@@ -110,3 +110,44 @@ def test_split_runs_max_len_preserves_semantics(rng):
         ap, ac = O.query_pml_oracle(capped, read)
         np.testing.assert_array_equal(ap, ep)
         np.testing.assert_array_equal(ac, ec)
+
+
+def test_device_builder_matches_host_rows(wide_setup):
+    """The on-device donated-buffer table build (no host mega
+    materialization, no searchsorted — bounded fast-forward instead) must
+    reproduce the host reference rows bit-for-bit."""
+    _, _, _, index = wide_setup
+    host = query_mega_wide.build_mega_rows_wide_host(index)
+    mt = query_mega_wide.build_mega_table_wide(index, compact=False)
+    np.testing.assert_array_equal(np.asarray(mt["mega"]), host)
+
+
+def test_compact_layout_exact(wide_setup):
+    rng, docs, big, index = wide_setup
+    mt = query_mega_wide.build_mega_table_wide(index, compact=True)
+    assert "shared" in mt and "percha" in mt
+    reads = make_reads(rng, docs, 16) + [b"NNNNN", b"A", b"XYACGT"]
+    pmls, cids = query_mega_wide.query_batch(index, reads, mt=mt)
+    for read, pml, cid in zip(reads, pmls, cids):
+        ep, ec = O.query_pml_oracle(big, read)
+        np.testing.assert_array_equal(pml, ep, err_msg=f"PML {read!r}")
+        np.testing.assert_array_equal(cid, ec, err_msg=f"CID {read!r}")
+    # compact long-read path shares query_chunk_mega_wide
+    p1, c1 = query_mega_wide.query_batch(index, [docs[0] * 2], mt=mt)
+    p2, c2 = query_mega_wide.query_long_reads(index, [docs[0] * 2],
+                                              chunk=64, mt=mt)
+    np.testing.assert_array_equal(p1[0], p2[0])
+    np.testing.assert_array_equal(c1[0], c2[0])
+
+
+def test_compact_auto_selection(wide_setup):
+    _, _, _, index = wide_setup
+    full = query_mega_wide.wide_table_bytes(index, compact=False)
+    compact = query_mega_wide.wide_table_bytes(index, compact=True)
+    assert compact < full
+    mt = query_mega_wide.build_mega_table_wide(index,
+                                               hbm_budget_bytes=full)
+    assert "mega" in mt
+    mt = query_mega_wide.build_mega_table_wide(index,
+                                               hbm_budget_bytes=full - 1)
+    assert "shared" in mt
