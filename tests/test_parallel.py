@@ -112,3 +112,79 @@ def test_sharded_pos_choose_k_relaxes_with_ip(setup):
     # a budget that fits k=2 only when halved per shard
     assert choose_k_sharded(index, 1, one_shard_k2 // 2 + A * index.n * 8) == 1
     assert choose_k_sharded(index, 2, one_shard_k2 // 2 + A * index.n * 8) >= 2
+
+
+# ---------------------------------------------------------------------------
+# wide sharded engine + router
+
+
+@pytest.fixture(scope="module")
+def wide_setup():
+    from tests.test_query_wide import scale_table
+
+    rng = np.random.default_rng(0xB17)
+    base = bytes(rng.choice(list(b"ACGT"), 250).astype("uint8"))
+    docs = random_docs(rng, 3, mutate_from=base)
+    tbl, _ = build_index(docs)
+    big = scale_table(tbl, 2**23)
+    assert big.n > 2**31
+    index = ColPmlIndex.build(big, ff_bound=2)
+    assert index.wide
+    reads = make_reads(rng, docs, 24) + [b"NNNNN", b"A"]
+    ref = [O.query_pml_oracle(big, r) for r in reads]
+    return index, reads, [p for p, _ in ref], [c for _, c in ref]
+
+
+@pytest.mark.parametrize("dp,ip", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_mega_wide_matches_oracle(wide_setup, dp, ip):
+    from colbwt_tpu.parallel.query_sharded_mega_wide import (
+        query_batch_sharded_mega_wide)
+
+    index, reads, ref_p, ref_c = wide_setup
+    mesh = make_mesh(dp, ip)
+    p, c = query_batch_sharded_mega_wide(index, reads, mesh=mesh)
+    for a, b in zip(p[:len(reads)], ref_p):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(c[:len(reads)], ref_c):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_mega_wide_long_reads(wide_setup):
+    from colbwt_tpu.parallel.query_sharded_mega_wide import (
+        query_batch_sharded_mega_wide, query_long_reads_sharded_mega_wide)
+
+    index, reads, *_ = wide_setup
+    rng = np.random.default_rng(3)
+    long_reads = [bytes(rng.choice(list(b"ACGTN"), 300).astype("uint8")),
+                  reads[0] * 4, reads[1][:33]]
+    mesh = make_mesh(4, 2)
+    p1, c1 = query_batch_sharded_mega_wide(index, long_reads, mesh=mesh)
+    p2, c2 = query_long_reads_sharded_mega_wide(index, long_reads,
+                                                mesh=mesh, chunk=64)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(c1, c2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_router_routes_wide(wide_setup, setup):
+    from colbwt_tpu.parallel import (choose_sharded_engine,
+                                     query_batch_sharded_auto)
+
+    wide_index, wide_reads, wp, wc = wide_setup
+    assert choose_sharded_engine(wide_index, ip=2) == "sharded-mega-wide"
+    mesh = make_mesh(4, 2)
+    p, c, name = query_batch_sharded_auto(wide_index, wide_reads, mesh=mesh)
+    assert name == "sharded-mega-wide"
+    for a, b in zip(p[:len(wide_reads)], wp):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(c[:len(wide_reads)], wc):
+        np.testing.assert_array_equal(a, b)
+
+    narrow_index, reads, ref_p, ref_c = setup
+    name = choose_sharded_engine(narrow_index, ip=2)
+    assert name in ("sharded-pos", "sharded-mega")
+    p, c, used = query_batch_sharded_auto(narrow_index, reads, mesh=mesh)
+    assert used == name
+    for a, b in zip(p[:len(reads)], ref_p):
+        np.testing.assert_array_equal(a, b)
