@@ -55,6 +55,19 @@ def _load() -> ctypes.CDLL | None:
     lib.fasta_parse.argtypes = [u8p, ctypes.c_int64, u8p, i64p, i64p, i64p, i64p]
     lib.suffix_array_sais.restype = None
     lib.suffix_array_sais.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p]
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.bwt_merge_ranks.restype = None
+    lib.bwt_merge_ranks.argtypes = [
+        u8p, i64p, ctypes.c_int64, u8p, ctypes.c_int64,
+        u8p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
+    lib.bwt_merge_emit.restype = ctypes.c_int64
+    lib.bwt_merge_emit.argtypes = [
+        u8p, i64p, ctypes.c_int64, ctypes.c_int64,
+        u8p, i64p, ctypes.c_int64,
+        u16p, u16p, ctypes.c_int32, u8p, i64p, u16p]
+    lib.lcp_from_rlbwt.restype = None
+    lib.lcp_from_rlbwt.argtypes = [
+        u8p, i64p, ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64, i32p]
     _lib = lib
     return lib
 
@@ -168,3 +181,81 @@ def lcp_kasai(ranks: np.ndarray, sa: np.ndarray) -> np.ndarray:
     lib.lcp_kasai(_p(ranks, ctypes.c_int64), _p(sa, ctypes.c_int64),
                   ranks.size, _p(out, ctypes.c_int64))
     return out
+
+
+# ---------------------------------------------------------------------------
+# chunked construction kernels (native/chunked.cpp)
+
+def bwt_merge_ranks(heads: np.ndarray, lens: np.ndarray, classes: np.ndarray,
+                    n_classes: int, text_b: np.ndarray,
+                    doc_starts: np.ndarray) -> np.ndarray:
+    """Insertion rank (among the accumulated collection's suffixes) of every
+    suffix of chunk B, by per-document backward extension."""
+    lib = _load()
+    assert lib is not None
+    heads = np.ascontiguousarray(heads, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    classes = np.ascontiguousarray(classes, dtype=np.uint8)
+    text_b = np.ascontiguousarray(text_b, dtype=np.uint8)
+    doc_starts = np.ascontiguousarray(doc_starts, dtype=np.int64)
+    kpos = np.empty(text_b.size, dtype=np.int64)
+    lib.bwt_merge_ranks(
+        _p(heads, ctypes.c_uint8), _p(lens, ctypes.c_int64), heads.size,
+        _p(classes, ctypes.c_uint8), n_classes,
+        _p(text_b, ctypes.c_uint8), text_b.size,
+        _p(doc_starts, ctypes.c_int64), doc_starts.size - 1,
+        _p(kpos, ctypes.c_int64))
+    return kpos
+
+
+def bwt_merge_emit(heads_a: np.ndarray, lens_a: np.ndarray, n_a: int,
+                   bwt_b: np.ndarray, karr: np.ndarray,
+                   doc_a: np.ndarray | None = None,
+                   doc_b: np.ndarray | None = None
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Merged RLBWT runs (and optionally the merged per-rank doc array)."""
+    lib = _load()
+    assert lib is not None
+    heads_a = np.ascontiguousarray(heads_a, dtype=np.uint8)
+    lens_a = np.ascontiguousarray(lens_a, dtype=np.int64)
+    bwt_b = np.ascontiguousarray(bwt_b, dtype=np.uint8)
+    karr = np.ascontiguousarray(karr, dtype=np.int64)
+    n_b = bwt_b.size
+    heads_out = np.empty(heads_a.size + n_b, dtype=np.uint8)
+    lens_out = np.empty(heads_a.size + n_b, dtype=np.int64)
+    with_doc = doc_a is not None
+    if with_doc:
+        doc_a = np.ascontiguousarray(doc_a, dtype=np.uint16)
+        doc_b = np.ascontiguousarray(doc_b, dtype=np.uint16)
+        doc_out = np.empty(n_a + n_b, dtype=np.uint16)
+        da, db, do = (_p(doc_a, ctypes.c_uint16), _p(doc_b, ctypes.c_uint16),
+                      _p(doc_out, ctypes.c_uint16))
+    else:
+        doc_out = None
+        null = ctypes.POINTER(ctypes.c_uint16)()
+        da = db = do = null
+    r = lib.bwt_merge_emit(
+        _p(heads_a, ctypes.c_uint8), _p(lens_a, ctypes.c_int64),
+        heads_a.size, n_a,
+        _p(bwt_b, ctypes.c_uint8), _p(karr, ctypes.c_int64), n_b,
+        da, db, 1 if with_doc else 0,
+        _p(heads_out, ctypes.c_uint8), _p(lens_out, ctypes.c_int64), do)
+    return heads_out[:r].copy(), lens_out[:r].copy(), doc_out
+
+
+def lcp_from_rlbwt(heads: np.ndarray, lens: np.ndarray, nsep: int,
+                   classes: np.ndarray, n_classes: int) -> np.ndarray:
+    """LCP array (int32) straight from the RLBWT — Beller et al. BFS; no
+    suffix array, no text."""
+    lib = _load()
+    assert lib is not None
+    heads = np.ascontiguousarray(heads, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    classes = np.ascontiguousarray(classes, dtype=np.uint8)
+    n = int(lens.sum())
+    lcp = np.empty(n, dtype=np.int32)
+    lib.lcp_from_rlbwt(
+        _p(heads, ctypes.c_uint8), _p(lens, ctypes.c_int64), heads.size,
+        nsep, _p(classes, ctypes.c_uint8), n_classes,
+        _p(lcp, ctypes.c_int32))
+    return lcp

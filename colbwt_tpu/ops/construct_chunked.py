@@ -1,0 +1,170 @@
+"""Chunked construction: RLBWT + doc array + LCP for collections whose
+suffix array does not fit host RAM.
+
+The monolithic lane (scripts/validate_wide.py) needs ~40 B/char of working
+set for SA-IS + Kasai — ~90 GB at n = 2.3e9 — capping single-host builds.
+This lane is the from-scratch equivalent of the reference's scale story
+(prefix-free parsing inside the mumemto fork,
+thirdparty/CMakeLists.txt:89-108), with a TPU-era decomposition instead of
+PFP:
+
+1. split the collection into document chunks whose LOCAL suffix arrays fit
+   RAM (native/sais.cpp per chunk);
+2. merge chunk BWTs by rank: one backward-extension pass per chunk over the
+   accumulated RLBWT (native/chunked.cpp bwt_merge_ranks — parallel across
+   documents), then a linear interleave emit (bwt_merge_emit) carrying the
+   per-rank document ids along;
+3. recover the LCP array directly from the merged RLBWT (lcp_from_rlbwt,
+   Beller et al. BFS) — no global SA, no Kasai, no text access.
+
+Peak memory is O(n_chunk * 40 B + n * ~7 B) instead of O(n * 40 B): the
+chunk SA working set plus the merged doc array (2 B), LCP (4 B), and kpos
+scratch (8 B, chunk-sized).  Everything downstream (thresholds, multi-MUM
+scan, col-split, col_pml) already consumes (heads, lens, lcp, doc_of) and
+needs no changes.
+
+Differential-tested against the monolithic SA path on mixed-length
+collections (tests/test_chunked.py).
+"""
+
+from __future__ import annotations
+
+import gc
+import time
+
+import numpy as np
+
+from colbwt_tpu.io import native
+
+TERMINATOR = 1
+
+
+def symbol_classes(text_bytes: np.ndarray) -> tuple[np.ndarray, int]:
+    """256-entry byte -> dense class map: terminator (byte 1) is class 0,
+    real bytes get classes 1..K in byte order (matching the collection
+    order of oracle.concat_collection: terminators below everything, real
+    bytes by value)."""
+    present = np.unique(text_bytes) if text_bytes.size else np.array([], np.uint8)
+    real = [int(b) for b in present if int(b) != TERMINATOR]
+    classes = np.full(256, 255, dtype=np.uint8)
+    classes[TERMINATOR] = 0
+    for i, b in enumerate(sorted(real)):
+        classes[b] = i + 1
+    return classes, len(real)
+
+
+def chunk_spans(doc_starts: np.ndarray, max_chunk_chars: int
+                ) -> list[tuple[int, int]]:
+    """Greedy document spans [dlo, dhi) with <= max_chunk_chars characters
+    each (a single document larger than the budget gets its own chunk)."""
+    spans = []
+    ndocs = doc_starts.size - 1
+    d = 0
+    while d < ndocs:
+        e = d + 1
+        while e < ndocs and doc_starts[e + 1] - doc_starts[d] <= max_chunk_chars:
+            e += 1
+        spans.append((d, e))
+        d = e
+    return spans
+
+
+def _chunk_suffix_array(text_b: np.ndarray, local_starts: np.ndarray
+                        ) -> np.ndarray:
+    """Local SA of one chunk: terminators get distinct ascending ranks below
+    every real byte (concat_collection semantics, chunk-local)."""
+    nd = local_starts.size - 1
+    ranks = text_b.astype(np.int64)
+    ranks += nd
+    sep_idx = local_starts[1:] - 1
+    ranks[sep_idx] = 1 + np.arange(nd, dtype=np.int64)
+    sa = native.suffix_array_sais(ranks)
+    del ranks
+    gc.collect()
+    return sa
+
+
+def build_rlbwt_chunked(text: np.ndarray, doc_starts: np.ndarray,
+                        max_chunk_chars: int, with_doc: bool = True,
+                        log=None) -> tuple[np.ndarray, np.ndarray,
+                                           np.ndarray | None]:
+    """(heads, lens[, doc_of]) of the whole collection, chunk by chunk.
+
+    `text` is the full concatenation (byte 1 terminating every document —
+    may be a np.memmap; only one chunk's slice is copied at a time) and
+    `doc_starts` its N+1 document offsets.  doc_of is the per-rank document
+    id (uint16), the sa//len equivalent the multi-MUM scan consumes.
+    """
+    assert doc_starts[0] == 0 and doc_starts[-1] == text.size
+    # the byte->class map is rebuilt from the union of bytes seen so far;
+    # class order is always byte order, so growing it between merges keeps
+    # every per-call rank structure consistent
+    seen: set[int] = set()
+    classes, K = symbol_classes(np.array([], dtype=np.uint8))
+
+    spans = chunk_spans(doc_starts, max_chunk_chars)
+    heads = lens = doc_of = None
+    n_a = 0
+    for ci, (dlo, dhi) in enumerate(spans):
+        t0 = time.perf_counter()
+        lo, hi = int(doc_starts[dlo]), int(doc_starts[dhi])
+        text_b = np.ascontiguousarray(text[lo:hi])
+        new = set(np.unique(text_b).tolist()) - seen
+        if new:
+            seen |= new
+            classes, K = symbol_classes(
+                np.array(sorted(seen), dtype=np.uint8))
+        local_starts = (doc_starts[dlo:dhi + 1] - lo).astype(np.int64)
+        sa = _chunk_suffix_array(text_b, local_starts)
+        bwt_b = text_b[sa - 1]  # sa==0 wraps to the chunk-final terminator
+        doc_b = None
+        if with_doc:
+            doc_b = (np.searchsorted(local_starts, sa, side="right") - 1
+                     + dlo).astype(np.uint16)
+        if ci == 0:
+            heads, lens = native.rle_encode(bwt_b)
+            doc_of = doc_b
+        else:
+            kpos = native.bwt_merge_ranks(heads, lens, classes, K,
+                                          text_b, local_starts)
+            karr = kpos[sa]
+            del kpos
+            gc.collect()
+            heads, lens, doc_new = native.bwt_merge_emit(
+                heads, lens, n_a, bwt_b, karr,
+                doc_of if with_doc else None, doc_b)
+            if with_doc:
+                doc_of = doc_new
+            del karr
+        n_a += hi - lo
+        del sa, bwt_b, text_b, doc_b
+        gc.collect()
+        if log:
+            log(f"chunk {ci + 1}/{len(spans)} docs [{dlo},{dhi}): "
+                f"n_a = {n_a:,}  r = {heads.size:,}  "
+                f"({time.perf_counter() - t0:.0f}s)")
+    return heads, lens, doc_of
+
+
+def lcp_chunked(heads: np.ndarray, lens: np.ndarray, ndocs: int,
+                classes: np.ndarray | None = None, K: int | None = None
+                ) -> np.ndarray:
+    """LCP array (int32) from the merged RLBWT (no SA, no text)."""
+    if classes is None:
+        classes, K = symbol_classes(np.unique(heads))
+    return native.lcp_from_rlbwt(heads, lens, ndocs, classes, K)
+
+
+def run_change_from_runs(heads: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Rank-level run-change marks (uint8, length n): byte-run boundaries
+    PLUS every terminator position — terminators are pairwise distinct, so
+    in rank space (concat_collection) each is its own run.  Matches
+    `ranks[sa-1]` adjacency of the monolithic path."""
+    n = int(lens.sum())
+    out = np.zeros(n, dtype=np.uint8)
+    starts = np.zeros(heads.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    out[starts] = 1
+    for j in np.flatnonzero(heads == TERMINATOR):
+        out[starts[j]:starts[j] + lens[j]] = 1
+    return out
