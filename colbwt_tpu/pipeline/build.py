@@ -78,6 +78,21 @@ def stage_mums(docs: list[bytes], prefix: str, cfg: ColBwtConfig, logger):
         logger.info("[mums] artifacts exist, skipping")
         return
     try:
+        from colbwt_tpu.io import native as native_lib
+        from colbwt_tpu.utils.hbm import resolve_sa_budget_chars
+
+        n_total = sum(len(d) + 1 for d in docs)
+        sa_budget = resolve_sa_budget_chars(cfg.sa_ram_chars)
+        use_chunked = (cfg.sa_mode == "chunked"
+                       or (cfg.sa_mode == "auto" and n_total > sa_budget))
+        if use_chunked:
+            if not native_lib.available():
+                raise RuntimeError(
+                    "chunked construction needs the native library "
+                    "(make -C native); monolithic SA at this n would need "
+                    f"~{n_total * 40 / 1e9:.0f} GB of host RAM")
+            _stage_mums_chunked(docs, prefix, cfg, logger, sa_budget)
+            return
         text, ranks, doc_ids = O.concat_collection(docs)
         n = text.size
         use_device = n >= _DEVICE_MIN_N
@@ -123,6 +138,64 @@ def stage_mums(docs: list[bytes], prefix: str, cfg: ColBwtConfig, logger):
     except Exception:
         _cleanup(outs)
         raise
+
+
+def _stage_mums_chunked(docs: list[bytes], prefix: str, cfg: ColBwtConfig,
+                        logger, sa_budget: int):
+    """stage_mums via chunked construction (ops.construct_chunked): per-chunk
+    SA-IS + rank-based BWT merge + LCP from the merged RLBWT — the scale lane
+    for collections beyond the monolithic-SA RAM budget (the reference's PFP
+    role, thirdparty/CMakeLists.txt:89-108).  Writes the same artifacts."""
+    import gc
+
+    from colbwt_tpu.ops import construct_chunked as CC
+
+    fa = f"{prefix}.fa"
+    n_total = sum(len(d) + 1 for d in docs)
+    chunk = cfg.chunk_chars or max(1, sa_budget // 2)
+    logger.info("[mums] chunked construction: n=%d chunk=%d", n_total, chunk)
+
+    text = np.empty(n_total, dtype=np.uint8)
+    doc_starts = np.zeros(len(docs) + 1, dtype=np.int64)
+    pos = 0
+    for i, d in enumerate(docs):
+        arr = np.frombuffer(d, dtype=np.uint8)
+        text[pos:pos + arr.size] = arr
+        text[pos + arr.size] = CC.TERMINATOR
+        pos += arr.size + 1
+        doc_starts[i + 1] = pos
+
+    with status("chunked RLBWT + doc array", logger):
+        heads, lens, doc_of = CC.build_rlbwt_chunked(
+            text, doc_starts, chunk,
+            log=lambda m: logger.info("[mums] %s", m))
+    del text
+    gc.collect()
+    with status("LCP from RLBWT (Beller BFS)", logger):
+        lcp32 = CC.lcp_chunked(heads, lens, len(docs))
+    with status("thresholds", logger):
+        thr = O.compute_thresholds_fast(heads, lens, lcp32)
+    with status("multi-MUMs", logger):
+        if len(docs) >= 2:
+            from colbwt_tpu.ops import construct_jax as CJ
+
+            rc = CC.run_change_from_runs(heads, lens)
+            ml, mp = CJ.find_multi_mums_chunked(
+                lcp32, doc_of.astype(np.int32), rc, len(docs), cfg.min_mum)
+            del rc
+        else:
+            ml = np.empty(0, dtype=np.int64)
+            mp = np.empty(0, dtype=np.int64)
+        del lcp32, doc_of
+        gc.collect()
+
+    F.write_rlbwt(fa, heads, lens, cfg.rw_bytes)
+    F.write_thresholds_file(f"{fa}.thr_pos", thr, cfg.rw_bytes)
+    F.write_col_mums(f"{fa}.col_mums", len(docs), ml, mp, cfg.rw_bytes)
+    Path(f"{prefix}.lengths").write_text(
+        "".join(f"{len(d)}\n" for d in docs))
+    logger.info("[mums] n=%d runs=%d multi-MUMs=%d (chunked)",
+                n_total, heads.size, ml.size)
 
 
 def stage_bwt(prefix: str, cfg: ColBwtConfig, logger):

@@ -72,6 +72,19 @@ class ColBwtConfig:
                                   # it to force the wide path on small builds
                                   # (pipeline tests do)
 
+    # --- construction scale knobs (new; the reference's PFP role) ---
+    sa_mode: str = "auto"         # "auto" | "monolithic" | "chunked":
+                                  # chunked construction (per-chunk SA-IS +
+                                  # rank-based BWT merge + BWT-only LCP,
+                                  # ops.construct_chunked) removes the
+                                  # ~40 B/char monolithic SA working set;
+                                  # "auto" switches over when n exceeds
+                                  # sa_ram_chars
+    sa_ram_chars: int = 0         # monolithic-SA character budget; 0 = auto
+                                  # (60% of host MemTotal / 40 B per char)
+    chunk_chars: int = 0          # chunk size for chunked construction;
+                                  # 0 = auto (half the monolithic budget)
+
     # --- parallel knobs (new; reference is single-node: SURVEY §2.3) ---
     dp: int = 1                   # data-parallel (read-sharded) mesh axis
     ip: int = 1                   # index-parallel (interval-sharded) mesh axis

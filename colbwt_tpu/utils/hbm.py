@@ -58,3 +58,30 @@ def resolve_pos_budget(configured: int, device=None) -> int:
     if total is None:
         return _FALLBACK
     return int(total * _RESERVE_FRACTION)
+
+
+def host_ram_bytes() -> int | None:
+    """Total host RAM from /proc/meminfo (None when unreadable)."""
+    try:
+        for line in open("/proc/meminfo"):
+            if line.startswith("MemTotal:"):
+                return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None
+
+
+# monolithic SA-IS + Kasai working set, measured at n = 2.3e9 (~90 GB)
+_SA_BYTES_PER_CHAR = 40
+
+
+def resolve_sa_budget_chars(configured: int) -> int:
+    """Character budget for monolithic host suffix-array construction: the
+    configured value when positive, else 60% of host RAM / 40 B per char
+    (conservative: leaves room for the merged arrays and the OS)."""
+    if configured > 0:
+        return configured
+    total = host_ram_bytes()
+    if total is None:
+        return 1 << 30
+    return int(total * 0.6) // _SA_BYTES_PER_CHAR

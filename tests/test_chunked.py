@@ -163,3 +163,32 @@ def test_chunked_fuzz_many_shapes():
         np.testing.assert_array_equal(l1, l2, err_msg=f"rep {rep}")
         np.testing.assert_array_equal(doc1.astype(np.int64), doc2,
                                       err_msg=f"rep {rep}")
+
+
+def test_pipeline_chunked_mode_matches_monolithic(rng, tmp_path):
+    """build_pipeline(sa_mode='chunked') writes byte-identical stage
+    artifacts and an equivalent index to the monolithic path."""
+    from colbwt_tpu.io import write_fasta, FastaRecord
+    from colbwt_tpu.pipeline import build_pipeline
+    from colbwt_tpu.utils.config import ColBwtConfig
+
+    base = bytes(rng.choice(list(b"ACGT"), 1200).astype("uint8"))
+    docs = make_collection(rng, 4, lo=1100, hi=1300, mutate_from=base)
+    for i, d in enumerate(docs):
+        write_fasta(tmp_path / f"s{i}.fa", [FastaRecord("c", d)])
+    fastas = [str(tmp_path / f"s{i}.fa") for i in range(4)]
+
+    cfg_m = ColBwtConfig(min_mum=40, sa_mode="monolithic")
+    im = build_pipeline(fastas, str(tmp_path / "mono"), cfg=cfg_m)
+    cfg_c = ColBwtConfig(min_mum=40, sa_mode="chunked", chunk_chars=2000)
+    ic = build_pipeline(fastas, str(tmp_path / "chunk"), cfg=cfg_c)
+
+    for suffix in (".fa.bwt.heads", ".fa.bwt.len", ".fa.thr_pos",
+                   ".fa.col_mums", ".fa.col_runs", ".fa.col_ids"):
+        a = (tmp_path / ("mono" + suffix)).read_bytes()
+        b = (tmp_path / ("chunk" + suffix)).read_bytes()
+        assert a == b, f"artifact mismatch: {suffix}"
+    np.testing.assert_array_equal(im.char, ic.char)
+    np.testing.assert_array_equal(im.idx, ic.idx)
+    np.testing.assert_array_equal(im.threshold, ic.threshold)
+    np.testing.assert_array_equal(im.col_id, ic.col_id)
