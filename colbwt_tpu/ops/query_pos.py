@@ -91,7 +91,7 @@ def choose_k(index: ColPmlIndex, hbm_budget_bytes: int = 10 << 30,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "C"), donate_argnums=(0,))
-def _build_t1_chunk(buf, char, idx, length, lf_pos0, threshold, pred_row,
+def _build_t1_chunk(buf, char, idx_pad, length, lf_pos0, threshold, pred_row,
                     succ_row, col_id, c, row0, s, n: int, C: int):
     """Fill T1 rows [row0, row0+C) — positions [s, s+C) for key digit char c
     — into the donated buffer: T1[q*n + pos] = [new_pos | match<<31,
@@ -100,11 +100,25 @@ def _build_t1_chunk(buf, char, idx, length, lf_pos0, threshold, pred_row,
     temps + fragmentation) and OOMed at n = 368M on v5e.  pred_row/succ_row
     are char c's jump-table rows only — shipping the full (sigma+1, r)
     tables costs ~2 GB at r = 38M, which alone overflowed the chip next to
-    an 11 GB table."""
+    an 11 GB table.
+
+    idx_pad is the run-start array padded with >= C+1 trailing `n` values:
+    because the chunk's positions are CONTIGUOUS, run ids come from a
+    scatter + running-max over the <= C runs starting inside the chunk —
+    O(C) — instead of a per-position binary search (O(C log r), which at
+    r = 38M made the per-chunk searchsorted gather-bound and pushed a
+    368 Mbp k=1 table build past half an hour)."""
     r = char.shape[0]
     pos = jax.lax.iota(jnp.int32, C) + s
-    run = jnp.searchsorted(idx, pos, side="right").astype(jnp.int32) - 1
-    offset = pos - jnp.take(idx, run)
+    lo = (jnp.searchsorted(idx_pad, s, side="right") - 1).astype(jnp.int32)
+    win = jax.lax.dynamic_slice(idx_pad, (lo + 1,), (C,))
+    off = win - s
+    j_rel = jax.lax.iota(jnp.int32, C) + 1
+    marks = jnp.zeros(C, jnp.int32).at[
+        jnp.clip(off, 0, C - 1)].max(
+        jnp.where((off >= 0) & (off < C), j_rel, 0))
+    run = lo + jax.lax.cummax(marks)
+    offset = pos - jnp.take(idx_pad, run)
     run_char = jnp.take(char, run)
     run_cid = jnp.take(col_id, run)
     lf_match = jnp.take(lf_pos0, run) + offset  # LF needs no ff in pos space
@@ -203,7 +217,10 @@ def build_pos_tables(index: ColPmlIndex, k: int | None = None,
             f"2**(32-k) (A_key={A_key}, k={k}, n={n}); use ops.query_mega "
             "/ query_mega_wide beyond")
 
-    idx = jnp.asarray(index.idx.astype(np.int32))
+    C_pad = min(n, _T1_CHUNK)
+    idx = jnp.asarray(np.concatenate([
+        index.idx.astype(np.int32),
+        np.full(C_pad + 1, n, dtype=np.int32)]))
     length = jnp.asarray(index.length.astype(np.int32))
     di = index.dest_interval.astype(np.int64)
     lf_pos0 = jnp.asarray((index.idx.astype(np.int64)[di]

@@ -129,7 +129,12 @@ def shard_pos_tables(index: ColPmlIndex, mesh: Mesh, k: int | None = None,
             f"A * n <= 2**31 (T1 is replicated), and n <= 2**(32-k) "
             f"(A={A}, k={k}, n={n}, ip={ip})")
 
-    idx = jnp.asarray(index.idx.astype(np.int32))
+    C = min(n, query_pos._T1_CHUNK)
+    # padded run starts: _build_t1_chunk resolves contiguous-chunk run ids
+    # from a C-wide window (see its docstring)
+    idx = jnp.asarray(np.concatenate([
+        index.idx.astype(np.int32),
+        np.full(C + 1, n, dtype=np.int32)]))
     length = jnp.asarray(index.length.astype(np.int32))
     di = index.dest_interval.astype(np.int64)
     lf_pos0 = jnp.asarray((index.idx.astype(np.int64)[di]

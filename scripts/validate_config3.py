@@ -38,6 +38,9 @@ def main():
                          "documents)")
     ap.add_argument("--reads", type=int, default=262_144)
     ap.add_argument("--check", type=int, default=512)
+    ap.add_argument("--mode", choices=("tunnels", "all"), default="tunnels",
+                    help="col-split mode; 'all' exercises the fragment-event "
+                         "walk (col_split_all_numpy) at full document count")
     args = ap.parse_args()
 
     from colbwt_tpu.io import native
@@ -82,8 +85,13 @@ def main():
     ml, mp = CJ.find_multi_mums_jax(ranks, sa, lcp, doc_ids, args.docs, 20)
     log(f"multi-MUM scan: {time.perf_counter() - t:.1f}s  mums = {ml.size}")
     t = time.perf_counter()
-    mpos, mids, mhts = col_split_jax(fl, ml, mp, args.docs, 10, "tunnels")
-    log(f"col-split (tunneled): {time.perf_counter() - t:.1f}s  "
+    if args.mode == "all":
+        from colbwt_tpu.ops.colsplit_jax import col_split_all_numpy
+
+        mpos, mids, mhts = col_split_all_numpy(fl, ml, mp, args.docs, 10)
+    else:
+        mpos, mids, mhts = col_split_jax(fl, ml, mp, args.docs, 10, "tunnels")
+    log(f"col-split ({args.mode}): {time.perf_counter() - t:.1f}s  "
         f"marks = {mpos.size:,}")
     t = time.perf_counter()
     if mhts.size and (mhts == mhts[0]).all():
