@@ -150,42 +150,43 @@ def _build_t1_chunk(buf, char, idx_pad, length, lf_pos0, threshold, pred_row,
 _T1_CHUNK = 1 << 25
 
 
-@functools.partial(jax.jit, static_argnames=("n", "A_key", "k"),
+@functools.partial(jax.jit, static_argnames=("n", "A", "ka", "kb"),
                    donate_argnums=(0,))
-def _build_tk(buf, t1, n: int, A_key: int, k: int):
-    """Fill T_k composed directly from T1 (k-1 chained gathers per element):
-    no intermediate T_j is ever materialized, and the donated output buffer
-    is updated in place by the fori_loop (lax.map's stacked-ys accumulator
-    double-buffers, which OOMs for multi-GB tables — measured on v5e).
+def _compose_tables(buf, ta, tb, n: int, A: int, ka: int, kb: int):
+    """Fill T_{ka+kb}[key][pos] = apply T_ka's high-digit block, then T_kb's
+    low-digit block from the landed position — ONE chained gather per output
+    element (the T_ka read is a contiguous slice).  Building T_k by repeated
+    squaring (T1 -> T2 -> T4) therefore costs ~(1 + 1/A^2) gathers/element
+    vs the k-1 of direct-from-T1 composition: ~2.8x fewer at k=4 (the bench
+    cold start's dominant term).  The donated output buffer is updated in
+    place by the fori_loop (lax.map's stacked-ys accumulator double-buffers,
+    which OOMs for multi-GB tables — measured on v5e).
 
-    t1 is keyed by the same digits as the output (its blocks ARE the key
-    alphabet).  Peak memory: T_k + T1 + one (n, 2) block."""
-
-    t1_mask = pos_mask(1)
-    pb = pos_bits(k)
+    Packing invariants (as query_chunk_pos reads them): pos in w0's low
+    pos_bits(k) bits, match bit of the j-th processed char at bit
+    pos_bits(k)+j, its col id in w1 byte j.  First processed chars are the
+    KEY'S HIGH DIGITS, so T_ka covers them and its match/cid stay in the
+    low bit/byte slots."""
+    k = ka + kb
+    pb, pba, pbb = pos_bits(k), pos_bits(ka), pos_bits(kb)
+    maska, maskb = pos_mask(ka), pos_mask(kb)
+    mbits_a, mbits_b = (1 << ka) - 1, (1 << kb) - 1
 
     def body(key, buf):
-        digits = []  # big-endian: first processed char is the high digit
-        rem = key
-        for j in range(k):
-            p = A_key ** (k - 1 - j)
-            digits.append(rem // p)
-            rem = rem % p
-        blk = jnp.take(t1, digits[0] * n + jax.lax.iota(jnp.int32, n),
-                       axis=0, mode="clip")
-        pos = blk[:, 0] & t1_mask
-        w0_acc = ((blk[:, 0] >> T1_POS_BITS) & 1) << pb  # repack match_0
-        w1_acc = blk[:, 1]
-        for j in range(1, k):
-            nxt = jnp.take(t1, digits[j] * n + pos, axis=0, mode="clip")
-            pos = nxt[:, 0] & t1_mask
-            w0_acc = w0_acc \
-                | (((nxt[:, 0] >> T1_POS_BITS) & 1) << (pb + j))
-            w1_acc = w1_acc | ((nxt[:, 1] & 0xFF) << (8 * j))
-        block = jnp.stack([w0_acc | pos, w1_acc], axis=1)
+        key_hi = key // (A ** kb)
+        key_lo = key % (A ** kb)
+        blk_a = jax.lax.dynamic_slice(ta, (key_hi * n, 0), (n, 2))
+        pos_a = blk_a[:, 0] & maska
+        rows_b = jnp.take(tb, key_lo * n + pos_a, axis=0, mode="clip")
+        ma = (blk_a[:, 0] >> pba) & mbits_a
+        mb = (rows_b[:, 0] >> pbb) & mbits_b
+        w0 = (rows_b[:, 0] & maskb) | (((mb << ka) | ma) << pb)
+        w1 = (blk_a[:, 1] & ((1 << (8 * ka)) - 1)) \
+            | (rows_b[:, 1] << (8 * ka))
+        block = jnp.stack([w0, w1], axis=1)
         return jax.lax.dynamic_update_slice(buf, block, (key * n, 0))
 
-    return jax.lax.fori_loop(0, A_key ** k, body, buf)
+    return jax.lax.fori_loop(0, A ** k, body, buf)
 
 
 def build_pos_tables(index: ColPmlIndex, k: int | None = None,
@@ -250,9 +251,23 @@ def build_pos_tables(index: ColPmlIndex, k: int | None = None,
     if k == 1:
         table = t1
     else:
-        buf = jnp.zeros((A_key ** k * n, 2), dtype=jnp.int32)
-        table = _build_tk(buf, t1, n=n, A_key=A_key, k=k)
-        del buf, t1
+        # repeated squaring: T2 = T1.T1, then T3 = T2.T1 / T4 = T2.T2 —
+        # each level is 1 chained gather per element (see _compose_tables)
+        def compose(ta, ka, tb, kb):
+            buf = jnp.zeros((A_key ** (ka + kb) * n, 2), dtype=jnp.int32)
+            return _compose_tables(buf, ta, tb, n=n, A=A_key, ka=ka, kb=kb)
+
+        t2 = compose(t1, 1, t1, 1)
+        if k == 2:
+            del t1
+            table = t2
+        elif k == 3:
+            table = compose(t2, 2, t1, 1)
+            del t1, t2
+        else:  # k == 4; peak HBM = T4 + T2 = table * (1 + 1/A^2)
+            del t1  # T4 composes T2 with itself — free T1 first
+            table = compose(t2, 2, t2, 2)
+            del t2
 
     # byte -> key digit (or -1: read reroutes through the fallback — the
     # general k=1 T1 when it fits, else ops.query_xla, handled by callers)

@@ -370,8 +370,11 @@ def query_pipeline(index_prefix: str, pattern_file: str,
     logger.info("querying %d reads against r=%d index", len(reads), index.r)
 
     total_chars = sum(len(rd) for rd in reads)
-    eng = QueryEngines(index, cfg, total_chars)
+    eng = QueryEngines(index, cfg, total_chars,
+                       table_dir=f"{index_prefix}.tables")
     logger.info("engine: %s", eng.name)
+    for ev in eng.cache_events:
+        logger.info("table cache: %s", ev)
 
     # bucket by padded length to bound recompilation while avoiding wasted
     # steps; long reads stream in chunks with carried state (the -l mode,

@@ -26,13 +26,16 @@ class QueryEngines:
     """Owns the device tables for one index and dispatches read batches."""
 
     def __init__(self, index: ColPmlIndex, cfg: ColBwtConfig,
-                 total_chars: int | None = None):
+                 total_chars: int | None = None,
+                 table_dir: str | None = None):
         from colbwt_tpu.ops import query_mega, query_pos
 
         from colbwt_tpu.utils.hbm import resolve_pos_budget
 
         self.index = index
         self.cfg = cfg
+        self.table_dir = (table_dir if cfg.table_cache != "off" else None)
+        self.cache_events: list[dict] = []  # load/build provenance per table
         # The pos tables cost O(A^k n) device work to build, so under "auto"
         # they only pay off for real workloads; total_chars=None means "the
         # workload is large/unbounded" (streaming drivers).
@@ -58,24 +61,56 @@ class QueryEngines:
         self.use_fused = (not self.use_pos and not self.use_wide
                           and not self.use_mega and index.ff_bound >= 1
                           and cfg.engine in ("auto", "fused"))
-        self.pt = (query_pos.build_pos_tables(index, pos_k,
-                                              hbm_budget_bytes=budget,
-                                              alphabet=pos_alpha)
-                   if self.use_pos else None)
+        self.pt = (self._tables("pos", lambda: query_pos.build_pos_tables(
+            index, pos_k, hbm_budget_bytes=budget, alphabet=pos_alpha))
+            if self.use_pos else None)
         if self.use_wide:
             from colbwt_tpu.ops import query_mega_wide
 
-            self.mt = query_mega_wide.build_mega_table_wide(
-                index, hbm_budget_bytes=budget)
+            self.mt = self._tables(
+                "megawide", lambda: query_mega_wide.build_mega_table_wide(
+                    index, hbm_budget_bytes=budget))
         else:
-            self.mt = (query_mega.build_mega_table(index)
-                       if self.use_mega else None)
+            self.mt = (self._tables(
+                "mega", lambda: query_mega.build_mega_table(index))
+                if self.use_mega else None)
         self.ft = None
         if self.use_fused:
             from colbwt_tpu.ops import query_fused
 
             self.ft = query_fused.build_fused_tables(index)
         self._xla_tb = None
+
+    def _tables(self, kind: str, build_fn):
+        """Build an engine's device tables, or reload them from the
+        persisted table cache next to the index (pipeline/tables.py).
+        Records one provenance event either way so drivers can log
+        loaded-vs-rebuilt with honest timings."""
+        import time
+
+        if self.table_dir is None:
+            return build_fn()
+        from colbwt_tpu.pipeline import tables as TB
+
+        t0 = time.perf_counter()
+        got = TB.load_tables(self.table_dir, kind, self.index)
+        if got is not None:
+            tbl, info = got
+            self.cache_events.append({
+                "kind": kind, "event": "load",
+                "seconds": time.perf_counter() - t0,
+                "replaced_build_seconds": info.get("build_seconds")})
+            return tbl
+        t0 = time.perf_counter()
+        tbl = build_fn()
+        build_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        TB.save_tables(self.table_dir, kind, self.index, tbl,
+                       build_seconds=build_s)
+        self.cache_events.append({
+            "kind": kind, "event": "build+save", "seconds": build_s,
+            "save_seconds": time.perf_counter() - t0})
+        return tbl
 
     @property
     def name(self) -> str:

@@ -43,8 +43,11 @@ def query_stream(index_prefix: str, pattern_file: str,
     timer = Timer().start()
 
     index = ColPmlIndex.load(f"{index_prefix}.colpml.npz")
-    eng = QueryEngines(index, cfg, total_chars=None)
+    eng = QueryEngines(index, cfg, total_chars=None,
+                       table_dir=f"{index_prefix}.tables")
     logger.info("streaming %s with engine %s", pattern_file, eng.name)
+    for ev in eng.cache_events:
+        logger.info("table cache: %s", ev)
 
     out_pml = f"{pattern_file}.split.pml.bin"
     out_cid = f"{pattern_file}.split.cid.bin"
