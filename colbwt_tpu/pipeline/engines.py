@@ -84,32 +84,60 @@ class QueryEngines:
     def _tables(self, kind: str, build_fn):
         """Build an engine's device tables, or reload them from the
         persisted table cache next to the index (pipeline/tables.py).
-        Records one provenance event either way so drivers can log
-        loaded-vs-rebuilt with honest timings."""
+
+        The load-vs-rebuild choice is MEASURED, not assumed: one ~32 MB
+        bandwidth probe per process projects the transfer time, and the
+        cache is used only when that beats the recorded build time
+        (454.8 s load vs 28.6 s rebuild on this repo's tunneled device;
+        ~1-2 s vs 28.6 s on a PCIe host — logs/table_cache_probe.log).
+        Records one provenance event either way."""
         import time
 
         if self.table_dir is None:
             return build_fn()
         from colbwt_tpu.pipeline import tables as TB
 
-        t0 = time.perf_counter()
-        got = TB.load_tables(self.table_dir, kind, self.index)
-        if got is not None:
-            tbl, info = got
-            self.cache_events.append({
-                "kind": kind, "event": "load",
-                "seconds": time.perf_counter() - t0,
-                "replaced_build_seconds": info.get("build_seconds")})
-            return tbl
+        meta = TB.peek(self.table_dir, kind, self.index)
+        have_cache = meta is not None
+        if have_cache:
+            bw = TB.h2d_bandwidth()
+            proj = meta["dev_bytes"] / bw
+            build_s = meta.get("build_seconds")
+            if build_s is None or proj < build_s:
+                t0 = time.perf_counter()
+                got = TB.load_tables(self.table_dir, kind, self.index)
+                if got is not None:
+                    tbl, info = got
+                    self.cache_events.append({
+                        "kind": kind, "event": "load",
+                        "seconds": time.perf_counter() - t0,
+                        "replaced_build_seconds": build_s})
+                    return tbl
+                have_cache = False  # half-written entry: fall through
+            else:
+                self.cache_events.append({
+                    "kind": kind, "event": "skip-load",
+                    "projected_seconds": proj, "build_seconds": build_s,
+                    "bandwidth_bytes_per_s": bw})
         t0 = time.perf_counter()
         tbl = build_fn()
         build_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        TB.save_tables(self.table_dir, kind, self.index, tbl,
-                       build_seconds=build_s)
-        self.cache_events.append({
-            "kind": kind, "event": "build+save", "seconds": build_s,
-            "save_seconds": time.perf_counter() - t0})
+        if have_cache:  # valid cache we declined: don't pay the save again
+            return tbl
+        dev_bytes = sum(v.nbytes if TB._placement(v) == "dev" else 0
+                        for v in tbl.values())
+        proj_save = dev_bytes / TB.h2d_bandwidth()
+        if proj_save < build_s:
+            t0 = time.perf_counter()
+            TB.save_tables(self.table_dir, kind, self.index, tbl,
+                           build_seconds=build_s)
+            self.cache_events.append({
+                "kind": kind, "event": "build+save", "seconds": build_s,
+                "save_seconds": time.perf_counter() - t0})
+        else:
+            self.cache_events.append({
+                "kind": kind, "event": "build+skip-save",
+                "seconds": build_s, "projected_save_seconds": proj_save})
         return tbl
 
     @property

@@ -12,9 +12,12 @@ saved-vs-spent comparison.
 
 Whether loading beats rebuilding is hardware-dependent: on PCIe-attached
 hosts an 8 GB NVMe read + upload beats recomputing ~1e9 chained gathers; on
-this environment's tunneled device the host->device path swings 100x
-(docs/ROUND_NOTES.md), so the cache is governed by cfg.table_cache and the
-measured numbers are recorded in BASELINE.md rather than assumed.
+this environment's tunneled device it measured 454.8 s load vs 28.6 s
+rebuild (logs/table_cache_probe.log).  So the policy is MEASURED, not
+assumed: h2d_bandwidth() times one ~32 MB chunked upload per process, and
+QueryEngines loads/saves only when the projected transfer time beats the
+recorded build time (events logged either way).  cfg.table_cache="off"
+disables the whole mechanism.
 """
 
 from __future__ import annotations
@@ -44,6 +47,59 @@ def index_fingerprint(index) -> str:
         _crc(index.threshold[::step]), _crc(index.col_id[::step]),
     )
     return "-".join(str(p) for p in parts)
+
+
+_BW_CACHE: float | None = None
+
+
+def h2d_bandwidth(sample_bytes: int = 32 << 20) -> float:
+    """Host->device bandwidth in bytes/s, measured ONCE per process with a
+    chunked upload of random int32s (random so a compressing transport
+    can't flatter the number).  ~30 ms on PCIe, ~2 s on the axon tunnel —
+    cheap relative to the multi-GB decisions it informs."""
+    global _BW_CACHE
+    if _BW_CACHE is None:
+        import time
+
+        from colbwt_tpu.utils.xfer import device_put_chunked
+
+        a = np.random.default_rng(0).integers(
+            0, 2**31 - 1, sample_bytes // 4, dtype=np.int32)
+        t0 = time.perf_counter()
+        x = device_put_chunked(a)
+        # materializing any element forces the whole donated-buffer write
+        # chain (block_until_ready can return early on axon — ROUND_NOTES)
+        _ = int(np.asarray(x[:1])[0])
+        _BW_CACHE = a.nbytes / max(time.perf_counter() - t0, 1e-9)
+        del x
+    return _BW_CACHE
+
+
+def peek(dir_: str | Path, kind: str, index) -> dict | None:
+    """Validate a cache entry WITHOUT uploading: returns its meta plus
+    `dev_bytes` (total bytes destined for the device) so callers can make
+    the bandwidth decision first, or None on any mismatch."""
+    d = Path(dir_) / kind
+    mf = d / "meta.json"
+    if not mf.exists():
+        return None
+    try:
+        meta = json.loads(mf.read_text())
+    except (json.JSONDecodeError, OSError):
+        return None
+    if meta.get("format") != TABLES_FORMAT or meta.get("kind") != kind:
+        return None
+    if meta.get("fingerprint") != index_fingerprint(index):
+        return None
+    dev_bytes = 0
+    for key, spec in meta["keys"].items():
+        if spec["place"] == "dev":
+            f = d / f"{key}.npy"
+            if not f.exists():
+                return None
+            dev_bytes += f.stat().st_size
+    meta["dev_bytes"] = dev_bytes
+    return meta
 
 
 def _placement(v) -> str:
