@@ -86,9 +86,15 @@ def _chunk_suffix_array(text_b: np.ndarray, local_starts: np.ndarray
 
 def build_rlbwt_chunked(text: np.ndarray, doc_starts: np.ndarray,
                         max_chunk_chars: int, with_doc: bool = True,
-                        log=None) -> tuple[np.ndarray, np.ndarray,
-                                           np.ndarray | None]:
+                        log=None, cache_dir=None
+                        ) -> tuple[np.ndarray, np.ndarray,
+                                   np.ndarray | None]:
     """(heads, lens[, doc_of]) of the whole collection, chunk by chunk.
+
+    With `cache_dir`, the carried merge state is checkpointed after every
+    chunk (atomic rename) and a rerun resumes after the last completed
+    chunk — a multi-hour build survives a crash at the cost of one
+    state write (~n * 3 B) per chunk.
 
     `text` is the full concatenation (byte 1 terminating every document —
     may be a np.memmap; only one chunk's slice is copied at a time) and
@@ -105,7 +111,31 @@ def build_rlbwt_chunked(text: np.ndarray, doc_starts: np.ndarray,
     spans = chunk_spans(doc_starts, max_chunk_chars)
     heads = lens = doc_of = None
     n_a = 0
+    start_ci = 0
+    state_f = None
+    if cache_dir is not None:
+        from pathlib import Path
+
+        cache_dir = Path(cache_dir)
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        state_f = cache_dir / "rlbwt_state.npz"
+        if state_f.exists():
+            z = np.load(state_f)
+            if int(z["max_chunk_chars"]) == max_chunk_chars and \
+                    int(z["n_total"]) == int(text.size):
+                heads, lens = z["heads"], z["lens"]
+                doc_of = z["doc_of"] if with_doc else None
+                n_a = int(z["n_a"])
+                start_ci = int(z["next_ci"])
+                seen = set(int(b) for b in z["seen"])
+                classes, K = symbol_classes(
+                    np.array(sorted(seen), dtype=np.uint8))
+                if log:
+                    log(f"resumed after chunk {start_ci}/{len(spans)} "
+                        f"(n_a = {n_a:,}, r = {heads.size:,})")
     for ci, (dlo, dhi) in enumerate(spans):
+        if ci < start_ci:
+            continue
         t0 = time.perf_counter()
         lo, hi = int(doc_starts[dlo]), int(doc_starts[dhi])
         text_b = np.ascontiguousarray(text[lo:hi])
@@ -143,6 +173,17 @@ def build_rlbwt_chunked(text: np.ndarray, doc_starts: np.ndarray,
             log(f"chunk {ci + 1}/{len(spans)} docs [{dlo},{dhi}): "
                 f"n_a = {n_a:,}  r = {heads.size:,}  "
                 f"({time.perf_counter() - t0:.0f}s)")
+        if state_f is not None and ci + 1 < len(spans):
+            tmp = state_f.with_suffix(".tmp.npz")
+            np.savez(tmp, heads=heads, lens=lens,
+                     doc_of=(doc_of if with_doc
+                             else np.empty(0, np.uint16)),
+                     n_a=n_a, next_ci=ci + 1, n_total=int(text.size),
+                     max_chunk_chars=max_chunk_chars,
+                     seen=np.array(sorted(seen), dtype=np.int64))
+            tmp.rename(state_f)
+    if state_f is not None and state_f.exists():
+        state_f.unlink()  # the caller caches the final result itself
     return heads, lens, doc_of
 
 

@@ -93,7 +93,7 @@ def main():
     else:
         t = time.perf_counter()
         heads, lens, doc_of = CC.build_rlbwt_chunked(
-            text, doc_starts, args.chunk_chars, log=log)
+            text, doc_starts, args.chunk_chars, log=log, cache_dir=wd)
         np.savez(rle_f, heads=heads, lens=lens, doc_of=doc_of)
         log(f"chunked RLBWT total: {time.perf_counter() - t:.0f}s")
     r = heads.size

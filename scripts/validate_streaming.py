@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--doc-len", type=int, default=1_000_000)
     ap.add_argument("--check", type=int, default=128)
     ap.add_argument("--workdir", type=str, default="/tmp/stream_v")
+    ap.add_argument("--quiesce-pid", type=int, default=0,
+                    help="SIGSTOP this PID during the measured stream "
+                    "window (and SIGCONT it after) so a co-running batch "
+                    "job doesn't pollute the sustained-throughput number")
     args = ap.parse_args()
 
     from colbwt_tpu.cli import main as cli_main
@@ -116,11 +120,31 @@ def main():
             f"({time.perf_counter() - t:.0f}s)")
 
     # --- stream -------------------------------------------------------------
+    import signal
+
     rss_before = rss_gb()
     sampler = RssSampler()
     sampler.start()
     cfg = ColBwtConfig(batch_size=16384)
-    stats = query_stream(str(wd / "idx"), str(reads_fa), cfg)
+    import os
+
+    if args.quiesce_pid:
+        # NOTE: only safe for processes you own directly — a supervised
+        # process's parent may treat the stop as a failure and kill it
+        log(f"quiescing pid {args.quiesce_pid} for the measured window")
+        try:
+            os.kill(args.quiesce_pid, signal.SIGSTOP)
+        except ProcessLookupError:
+            log("quiesce target already gone")
+    try:
+        stats = query_stream(str(wd / "idx"), str(reads_fa), cfg)
+    finally:
+        if args.quiesce_pid:
+            try:
+                os.kill(args.quiesce_pid, signal.SIGCONT)
+                log(f"resumed pid {args.quiesce_pid}")
+            except ProcessLookupError:
+                pass
     sampler.stop.set()
     log(f"sustained: {stats['reads_per_s']:,.0f} reads/s over "
         f"{stats['reads']:,} reads ({stats['seconds']:.0f}s)")

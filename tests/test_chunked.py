@@ -192,3 +192,58 @@ def test_pipeline_chunked_mode_matches_monolithic(rng, tmp_path):
     np.testing.assert_array_equal(im.idx, ic.idx)
     np.testing.assert_array_equal(im.threshold, ic.threshold)
     np.testing.assert_array_equal(im.col_id, ic.col_id)
+
+
+def test_chunked_resume_from_checkpoint(rng, tmp_path, monkeypatch):
+    """A crash mid-build resumes after the last completed chunk (cache_dir
+    checkpoints) and the resumed result equals the uninterrupted one."""
+    docs = make_collection(rng, 9, lo=120, hi=260)
+    text, starts = concat_with_terminators(docs)
+
+    calls = {"n": 0}
+    real = CC.native.bwt_merge_ranks
+
+    def dying(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die inside the THIRD chunk's merge
+            raise RuntimeError("simulated crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(CC.native, "bwt_merge_ranks", dying)
+    with pytest.raises(RuntimeError):
+        CC.build_rlbwt_chunked(text, starts, 400, log=None,
+                               cache_dir=tmp_path)
+    assert (tmp_path / "rlbwt_state.npz").exists()
+    monkeypatch.setattr(CC.native, "bwt_merge_ranks", real)
+
+    logs = []
+    h1, l1, doc1 = CC.build_rlbwt_chunked(text, starts, 400,
+                                          log=logs.append,
+                                          cache_dir=tmp_path)
+    assert any("resumed after chunk" in m for m in logs)
+    assert not (tmp_path / "rlbwt_state.npz").exists()  # cleared when done
+    h2, l2, doc2 = CC.build_rlbwt_chunked(text, starts, 400)
+    np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(doc1, doc2)
+
+
+def test_chunked_checkpoint_shape_mismatch_ignored(rng, tmp_path):
+    """A checkpoint from a different chunking or collection is not resumed."""
+    docs = make_collection(rng, 6, lo=100, hi=200)
+    text, starts = concat_with_terminators(docs)
+    CC.build_rlbwt_chunked(text, starts, 300, cache_dir=tmp_path)
+    # plant a stale state file with wrong chunking params
+    np.savez(tmp_path / "rlbwt_state.npz",
+             heads=np.array([65], np.uint8), lens=np.array([1], np.int64),
+             doc_of=np.array([0], np.uint16), n_a=1, next_ci=1,
+             n_total=123, max_chunk_chars=999,
+             seen=np.array([1, 65], np.int64))
+    logs = []
+    h1, l1, doc1 = CC.build_rlbwt_chunked(text, starts, 300,
+                                          log=logs.append,
+                                          cache_dir=tmp_path)
+    assert not any("resumed" in m for m in logs)
+    h2, l2, doc2 = CC.build_rlbwt_chunked(text, starts, 300)
+    np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_array_equal(l1, l2)
