@@ -306,11 +306,17 @@ def _fold_keys(cols: jnp.ndarray, k: int, A: int) -> jnp.ndarray:
     return key
 
 
-@functools.partial(jax.jit, static_argnames=("k", "A", "masked", "unroll"))
+@functools.partial(jax.jit, static_argnames=("k", "A", "masked", "unroll",
+                                             "packed_out"))
 def query_chunk_pos(pt_table, n, patterns, lengths, pos0, mlen0, step_offset,
-                    k: int, A: int, masked: bool = False, unroll: int = 4):
+                    k: int, A: int, masked: bool = False, unroll: int = 4,
+                    packed_out: bool = False):
     """One scan over a (B, M) chunk of key DIGITS (M multiple of k).
-    Returns ((pml, cid), (pos, mlen)).
+    Returns ((pml, cid), (pos, mlen)) — or ((packed, None), (pos, mlen))
+    with packed_out, where packed = pml << 8 | cid as uint16 when it
+    provably fits (M <= 255) else int32.  packed_out exists for the
+    transfer-bound streaming path: one packed u16 plane is 4x fewer
+    device->host bytes than two int32 planes (BASELINE.md 10M-read row).
 
     State past a lane's end is deliberately NOT masked: reads are
     right-aligned, so every step after a lane's last real character consumes
@@ -346,17 +352,30 @@ def query_chunk_pos(pt_table, n, patterns, lengths, pos0, mlen0, step_offset,
     (pos, mlen), ys = jax.lax.scan(body, (pos0, mlen0), (keys, steps),
                                    unroll=unroll)
     packed = ys.reshape(M, B).T[:, ::-1]
+    if packed_out:
+        # pml <= mlen0_max + M; single-scan callers start at mlen0 = 0, so
+        # M <= 255 guarantees pml < 256 and the u16 packing is lossless
+        out = packed.astype(jnp.uint16) if M <= 255 else packed
+        return (out, None), (pos, mlen)
     return (packed >> 8, packed & 0xFF), (pos, mlen)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "A"))
-def query_batch_pos(pt_table, n, patterns, lengths, k: int, A: int):
+@functools.partial(jax.jit, static_argnames=("k", "A", "packed_out"))
+def query_batch_pos(pt_table, n, patterns, lengths, k: int, A: int,
+                    packed_out: bool = False):
     B = patterns.shape[0]
     pos0 = jnp.broadcast_to(n - 1, (B,)).astype(jnp.int32)
     mlen0 = jnp.zeros((B,), dtype=jnp.int32)
     (pml, cid), _ = query_chunk_pos(pt_table, n, patterns, lengths,
-                                    pos0, mlen0, jnp.int32(0), k=k, A=A)
+                                    pos0, mlen0, jnp.int32(0), k=k, A=A,
+                                    packed_out=packed_out)
     return pml, cid
+
+
+def unpack_pml_cid(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side split of a packed_out plane back into (pml, cid) int32."""
+    pk = np.asarray(packed).astype(np.int32)
+    return pk >> 8, pk & 0xFF
 
 
 def _encode_digits(index: ColPmlIndex, pt: dict, patterns: list[bytes],
@@ -369,7 +388,10 @@ def _encode_digits(index: ColPmlIndex, pt: dict, patterns: list[bytes],
     cols = np.arange(M) >= (M - lens[:, None])
     bad = ((dig < 0) & cols).any(axis=1)
     dig = np.where(dig < 0, 0, dig)  # pad digit; bad lanes rerouted anyway
-    return dig.astype(np.int32), lens, bad
+    # uint8: digits < A <= sigma+1; 4x fewer upload bytes than int32 —
+    # the streaming driver is transfer-bound on tunneled devices
+    # (BASELINE.md 10M-read row), so pattern bytes are the unit that counts
+    return dig.astype(np.uint8), lens, bad
 
 
 def query_batch(index: ColPmlIndex, patterns: list[bytes],

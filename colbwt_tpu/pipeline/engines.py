@@ -97,13 +97,14 @@ class QueryEngines:
             return build_fn()
         from colbwt_tpu.pipeline import tables as TB
 
+        force = self.cfg.table_cache == "force"
         meta = TB.peek(self.table_dir, kind, self.index)
         have_cache = meta is not None
         if have_cache:
             bw = TB.h2d_bandwidth()
             proj = meta["dev_bytes"] / bw
             build_s = meta.get("build_seconds")
-            if build_s is None or proj < build_s:
+            if force or build_s is None or proj < build_s:
                 t0 = time.perf_counter()
                 got = TB.load_tables(self.table_dir, kind, self.index)
                 if got is not None:
@@ -127,7 +128,7 @@ class QueryEngines:
         dev_bytes = sum(v.nbytes if TB._placement(v) == "dev" else 0
                         for v in tbl.values())
         proj_save = dev_bytes / TB.h2d_bandwidth()
-        if proj_save < build_s:
+        if force or proj_save < build_s:
             t0 = time.perf_counter()
             TB.save_tables(self.table_dir, kind, self.index, tbl,
                            build_seconds=build_s)
@@ -165,10 +166,18 @@ class QueryEngines:
         index, pt, mt, ft = self.index, self.pt, self.mt, self.ft
         if self.use_pos:
             padded = -(-padded // self.pos_k) * self.pos_k  # M % k == 0
+            if padded > 255 and max(len(r) for r in batch) <= 252:
+                padded = 252  # largest <= 255 multiple of every k <= 4:
+                # keeps the u16 packed plane for standard short reads whose
+                # power-of-2 bucket would round to 256
             dig, lens, bad = query_pos._encode_digits(index, pt, batch, padded)
             ej, lj = device_put_chunked(dig), jnp.asarray(lens)
+            # uint8 digits up + one packed u16 plane down: ~4x fewer bytes
+            # per batch than int32 digits + two int32 planes — the streaming
+            # driver is transfer-bound on tunneled devices (BASELINE.md)
             p, c = query_pos.query_batch_pos(pt["table"], pt["n"], ej, lj,
-                                             k=self.pos_k, A=pt["A"])
+                                             k=self.pos_k, A=pt["A"],
+                                             packed_out=True)
             if bad.any():  # reads with non-key bytes: general k=1 fallback
                 idxs = np.flatnonzero(bad)
                 e2, l2 = index.encode_patterns([batch[i] for i in idxs],
@@ -210,10 +219,16 @@ class QueryEngines:
     @staticmethod
     def materialize(result) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Block on a dispatch() result; returns (pml (B, W), cid (B, W),
-        lens (B,)) with any fallback reads spliced back in."""
+        lens (B,)) with any fallback reads spliced back in.  A packed_out
+        plane (cid side None) is split on the host."""
+        from colbwt_tpu.ops import query_pos
+
         p_dev, c_dev, lens, fallback = result
-        p = np.asarray(p_dev)
-        c = np.asarray(c_dev)
+        if c_dev is None:
+            p, c = query_pos.unpack_pml_cid(p_dev)
+        else:
+            p = np.asarray(p_dev)
+            c = np.asarray(c_dev)
         if fallback is not None:
             idxs, p2_dev, c2_dev = fallback
             p, c = np.array(p), np.array(c)  # asarray views are read-only

@@ -67,11 +67,14 @@ class ColBwtConfig:
                                   # cutting minutes off multi-Mbp builds
     long_read_len: int = 1024     # reads longer than this stream in chunks
     long_read_chunk: int = 2048
-    table_cache: str = "auto"     # "auto" | "off": persist built engine
-                                  # tables (pos/mega/mega-wide) under
+    table_cache: str = "auto"     # "auto" | "force" | "off": persist built
+                                  # engine tables (pos/mega/mega-wide) under
                                   # <index>.tables/ and reload them on later
                                   # launches (pipeline/tables.py), skipping
-                                  # the multi-GB device rebuild per process
+                                  # the multi-GB device rebuild per process.
+                                  # "auto" loads/saves only when a measured
+                                  # bandwidth projection beats the recorded
+                                  # build time; "force" always does
     wide_n_limit: int = 2**31 - 1  # n above this uses the wide (two-limb)
                                   # index layout + ops.query_mega_wide; lower
                                   # it to force the wide path on small builds

@@ -109,3 +109,28 @@ def test_choose_k_restricted_reaches_higher(rng):
         assert query_pos.choose_k(index, budget_k4q) == 3
     # restricted k=2 fits where general k=2 does not (16 vs 36 blocks)
     assert query_pos.choose_k(index, 17 * index.n * 8, alphabet=b"ACGT") == 2
+
+
+@pytest.mark.parametrize("M", [32, 252, 256])
+def test_packed_out_equals_unpacked(rng, M):
+    """packed_out returns pml<<8|cid in one plane (u16 when M <= 255),
+    bit-identical to the two-plane output after host unpacking."""
+    import jax.numpy as jnp
+
+    base = bytes(rng.choice(list(b"ACGT"), 300).astype("uint8"))
+    docs = random_docs(rng, 3, mutate_from=base)
+    _, index = build_index(docs)
+    pt = query_pos.build_pos_tables(index, k=2)
+    reads = make_reads(rng, docs, 12, lo=20, hi=min(M, 200))
+    dig, lens, _ = query_pos._encode_digits(index, pt, reads, M)
+    assert dig.dtype == np.uint8
+    ej, lj = jnp.asarray(dig), jnp.asarray(lens)
+    p1, c1 = query_pos.query_batch_pos(pt["table"], pt["n"], ej, lj,
+                                       k=2, A=pt["A"])
+    pk, none = query_pos.query_batch_pos(pt["table"], pt["n"], ej, lj,
+                                         k=2, A=pt["A"], packed_out=True)
+    assert none is None
+    assert np.asarray(pk).dtype == (np.uint16 if M <= 255 else np.int32)
+    p2, c2 = query_pos.unpack_pml_cid(pk)
+    np.testing.assert_array_equal(np.asarray(p1), p2)
+    np.testing.assert_array_equal(np.asarray(c1), c2)

@@ -29,7 +29,7 @@ def test_roundtrip_and_reload(tmp_path, rng, engine, wide):
         index = ColPmlIndex.build(tbl, ff_bound=2,
                                   wide=True if wide else None)
     reads = make_reads(rng, docs, 8, lo=20, hi=50)
-    cfg = ColBwtConfig(engine=engine, batch_size=8)
+    cfg = ColBwtConfig(engine=engine, batch_size=8, table_cache="force")
 
     eng1 = QueryEngines(index, cfg, total_chars=10**9,
                         table_dir=str(tmp_path / "t"))
@@ -49,7 +49,7 @@ def test_roundtrip_and_reload(tmp_path, rng, engine, wide):
 def test_stale_cache_rejected(tmp_path, rng):
     docs = random_docs(rng, 2, lo=100, hi=160)
     _, index = build_index(docs)
-    cfg = ColBwtConfig(engine="pos", batch_size=4)
+    cfg = ColBwtConfig(engine="pos", batch_size=4, table_cache="force")
     eng = QueryEngines(index, cfg, total_chars=10**9,
                        table_dir=str(tmp_path / "t"))
     assert eng.cache_events[0]["event"] == "build+save"
