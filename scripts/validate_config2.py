@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--min-mum", type=int, default=40)
     ap.add_argument("--run-split", choices=("auto", "always"), default="auto")
     ap.add_argument("--workdir", type=str, default="/tmp/cfg2_v")
+    ap.add_argument("--query-only", action="store_true",
+                    help="reuse the workdir's built index (same rng draw "
+                    "sequence regenerates identical docs/reads) — for a "
+                    "clean query re-measure after a contended build run")
     args = ap.parse_args()
 
     from colbwt_tpu.io import FastaRecord, native, write_fasta
@@ -48,9 +52,12 @@ def main():
     enable_compilation_cache(str(REPO / ".bench_cache" / "jax_cache"))
     assert native.available()
     wd = Path(args.workdir)
-    if wd.exists():
-        shutil.rmtree(wd)
-    wd.mkdir(parents=True)
+    if args.query_only:
+        assert (wd / "index.colpml.npz").exists(), "no built index to reuse"
+    else:
+        if wd.exists():
+            shutil.rmtree(wd)
+        wd.mkdir(parents=True)
 
     rng = np.random.default_rng(0xC2)
     ACGT = np.frombuffer(b"ACGT", np.uint8)
@@ -62,19 +69,28 @@ def main():
         pos = rng.integers(0, args.doc_len, args.muts)
         a[pos] = rng.choice(ACGT, args.muts)
         docs.append(a.tobytes())
-        f = wd / f"doc{i}.fa"
-        write_fasta(f, [FastaRecord(f"doc{i}", docs[-1])])
-        fastas.append(str(f))
+        if not args.query_only:
+            f = wd / f"doc{i}.fa"
+            write_fasta(f, [FastaRecord(f"doc{i}", docs[-1])])
+            fastas.append(str(f))
     del base
-    log(f"collection: {args.docs} x {args.doc_len:,} bp FASTAs written")
+    log(f"collection: {args.docs} x {args.doc_len:,} bp"
+        + (" regenerated (query-only)" if args.query_only
+           else " FASTAs written"))
 
     cfg = ColBwtConfig(min_mum=args.min_mum, run_split=args.run_split,
                        verbose=True)
-    t0 = time.perf_counter()
-    index = build_pipeline(fastas, str(wd / "index"), cfg=cfg)
-    build_s = time.perf_counter() - t0
-    log(f"BUILD END-TO-END: {build_s:.1f}s  r = {index.r:,}  "
-        f"ff_bound = {index.ff_bound}")
+    if args.query_only:
+        from colbwt_tpu.models.index import ColPmlIndex
+
+        index = ColPmlIndex.load(wd / "index.colpml.npz")
+        log(f"index loaded from workdir: r = {index.r:,}")
+    else:
+        t0 = time.perf_counter()
+        index = build_pipeline(fastas, str(wd / "index"), cfg=cfg)
+        build_s = time.perf_counter() - t0
+        log(f"BUILD END-TO-END: {build_s:.1f}s  r = {index.r:,}  "
+            f"ff_bound = {index.ff_bound}")
 
     # reads
     reads = []

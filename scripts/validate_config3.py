@@ -122,16 +122,24 @@ def main():
             arr[int(rng.integers(0, 150))] = int(rng.choice(list(b"ACGT")))
         reads.append(bytes(arr))
 
-    k = query_pos.choose_k(index, 12 << 30)
-    log(f"pos engine k = {k}")
+    # mirror the engine ladder: ACGT-restricted keys reach higher k / larger
+    # n than general keys (pipeline/engines.py does the same)
+    alpha = b"ACGT"
+    k = query_pos.choose_k(index, 12 << 30, alphabet=alpha)
+    if k < 1:
+        alpha = None
+        k = query_pos.choose_k(index, 12 << 30)
+    log(f"pos engine k = {k}"
+        + (" (ACGT keys)" if alpha and k >= 1 else ""))
     if k >= 1:
         t = time.perf_counter()
-        pt = query_pos.build_pos_tables(index, k)
+        pt = query_pos.build_pos_tables(index, k, alphabet=alpha)
         _ = int(np.asarray(pt["table"][:2, 0]).sum())
         log(f"pos tables: {time.perf_counter() - t:.1f}s "
             f"({pt['table'].nbytes / 1e9:.1f} GB)")
         M = -(-150 // k) * k
-        enc, lens_ = index.encode_patterns(reads, max_len=M)
+        enc, lens_, bad = query_pos._encode_digits(index, pt, reads, M)
+        assert not bad.any()  # reads are pure ACGT here
         ej = device_put_chunked(enc)
         lj = jnp.asarray(lens_)
         p, c = query_pos.query_batch_pos(pt["table"], pt["n"], ej, lj,
