@@ -69,6 +69,21 @@ def chunk_spans(doc_starts: np.ndarray, max_chunk_chars: int
     return spans
 
 
+def _input_fingerprint(text: np.ndarray, doc_starts: np.ndarray,
+                       with_doc: bool) -> int:
+    """Cheap content fingerprint of a chunked-build input: CRC of the
+    doc_starts offsets plus a ~64k-element strided sample of the text, mixed
+    with the with_doc flag.  Guards checkpoint resume against a different
+    collection of identical total size (same pattern as
+    pipeline/tables.index_fingerprint)."""
+    import zlib
+
+    h = zlib.crc32(np.ascontiguousarray(doc_starts).tobytes())
+    step = max(1, text.size // 65536)
+    h = zlib.crc32(np.ascontiguousarray(text[::step]).tobytes(), h)
+    return (h << 1) | int(bool(with_doc))
+
+
 def _chunk_suffix_array(text_b: np.ndarray, local_starts: np.ndarray
                         ) -> np.ndarray:
     """Local SA of one chunk: terminators get distinct ascending ranks below
@@ -113,15 +128,23 @@ def build_rlbwt_chunked(text: np.ndarray, doc_starts: np.ndarray,
     n_a = 0
     start_ci = 0
     state_f = None
+    fprint = None
     if cache_dir is not None:
         from pathlib import Path
 
         cache_dir = Path(cache_dir)
         cache_dir.mkdir(parents=True, exist_ok=True)
         state_f = cache_dir / "rlbwt_state.npz"
+        fprint = _input_fingerprint(text, doc_starts, with_doc)
         if state_f.exists():
             z = np.load(state_f)
-            if int(z["max_chunk_chars"]) == max_chunk_chars and \
+            ck_fp = int(z["fingerprint"]) if "fingerprint" in z else None
+            if ck_fp is not None and ck_fp != fprint:
+                if log:
+                    log("checkpoint fingerprint mismatch (different "
+                        "collection in this cache_dir) — discarding it")
+                state_f.unlink()
+            elif int(z["max_chunk_chars"]) == max_chunk_chars and \
                     int(z["n_total"]) == int(text.size):
                 heads, lens = z["heads"], z["lens"]
                 doc_of = z["doc_of"] if with_doc else None
@@ -180,6 +203,7 @@ def build_rlbwt_chunked(text: np.ndarray, doc_starts: np.ndarray,
                              else np.empty(0, np.uint16)),
                      n_a=n_a, next_ci=ci + 1, n_total=int(text.size),
                      max_chunk_chars=max_chunk_chars,
+                     fingerprint=fprint,
                      seen=np.array(sorted(seen), dtype=np.int64))
             tmp.rename(state_f)
     if state_f is not None and state_f.exists():

@@ -307,14 +307,17 @@ def _fold_keys(cols: jnp.ndarray, k: int, A: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "A", "masked", "unroll",
-                                             "packed_out"))
+                                             "packed_out", "fresh_state"))
 def query_chunk_pos(pt_table, n, patterns, lengths, pos0, mlen0, step_offset,
                     k: int, A: int, masked: bool = False, unroll: int = 4,
-                    packed_out: bool = False):
+                    packed_out: bool = False, fresh_state: bool = False):
     """One scan over a (B, M) chunk of key DIGITS (M multiple of k).
     Returns ((pml, cid), (pos, mlen)) — or ((packed, None), (pos, mlen))
     with packed_out, where packed = pml << 8 | cid as uint16 when it
-    provably fits (M <= 255) else int32.  packed_out exists for the
+    provably fits (fresh_state and M <= 255) else int32.  fresh_state is
+    the caller's assertion that mlen0 == 0 (no carried match length), the
+    premise of the pml < 256 bound — chunked long-read callers carry state
+    and must leave it False.  packed_out exists for the
     transfer-bound streaming path: one packed u16 plane is 4x fewer
     device->host bytes than two int32 planes (BASELINE.md 10M-read row).
 
@@ -353,9 +356,12 @@ def query_chunk_pos(pt_table, n, patterns, lengths, pos0, mlen0, step_offset,
                                    unroll=unroll)
     packed = ys.reshape(M, B).T[:, ::-1]
     if packed_out:
-        # pml <= mlen0_max + M; single-scan callers start at mlen0 = 0, so
-        # M <= 255 guarantees pml < 256 and the u16 packing is lossless
-        out = packed.astype(jnp.uint16) if M <= 255 else packed
+        # pml <= mlen0_max + M; only callers asserting fresh state
+        # (mlen0 == 0) get the u16 downcast: then M <= 255 guarantees
+        # pml < 256 and the packing is lossless.  Carried-state callers
+        # keep int32 (pml can exceed 255 regardless of M).
+        out = (packed.astype(jnp.uint16)
+               if (fresh_state and M <= 255) else packed)
         return (out, None), (pos, mlen)
     return (packed >> 8, packed & 0xFF), (pos, mlen)
 
@@ -368,7 +374,7 @@ def query_batch_pos(pt_table, n, patterns, lengths, k: int, A: int,
     mlen0 = jnp.zeros((B,), dtype=jnp.int32)
     (pml, cid), _ = query_chunk_pos(pt_table, n, patterns, lengths,
                                     pos0, mlen0, jnp.int32(0), k=k, A=A,
-                                    packed_out=packed_out)
+                                    packed_out=packed_out, fresh_state=True)
     return pml, cid
 
 

@@ -147,6 +147,7 @@ def _stage_mums_chunked(docs: list[bytes], prefix: str, cfg: ColBwtConfig,
     for collections beyond the monolithic-SA RAM budget (the reference's PFP
     role, thirdparty/CMakeLists.txt:89-108).  Writes the same artifacts."""
     import gc
+    import shutil
 
     from colbwt_tpu.ops import construct_chunked as CC
 
@@ -165,14 +166,36 @@ def _stage_mums_chunked(docs: list[bytes], prefix: str, cfg: ColBwtConfig,
         pos += arr.size + 1
         doc_starts[i + 1] = pos
 
+    # Intra-stage checkpoints: the RLBWT merge state is checkpointed per
+    # chunk and the two long sub-stages (RLBWT, LCP) cache their results,
+    # so a killed multi-hour build resumes where it died instead of at the
+    # stage boundary (the reference resumes per stage only,
+    # scripts/col-bwt.py:122-137).  The cache dir is removed once the
+    # stage's real artifacts are written.
+    ck = Path(f"{prefix}.chunked_cache")
+    ck.mkdir(parents=True, exist_ok=True)
+    fprint = CC._input_fingerprint(text, doc_starts, True)
+    rle_f = ck / f"rlbwt.{fprint}.npz"
     with status("chunked RLBWT + doc array", logger):
-        heads, lens, doc_of = CC.build_rlbwt_chunked(
-            text, doc_starts, chunk,
-            log=lambda m: logger.info("[mums] %s", m))
+        if rle_f.exists():
+            z = np.load(rle_f)
+            heads, lens, doc_of = z["heads"], z["lens"], z["doc_of"]
+            logger.info("[mums] chunked RLBWT loaded from stage cache")
+        else:
+            heads, lens, doc_of = CC.build_rlbwt_chunked(
+                text, doc_starts, chunk,
+                log=lambda m: logger.info("[mums] %s", m), cache_dir=ck)
+            np.savez(rle_f, heads=heads, lens=lens, doc_of=doc_of)
     del text
     gc.collect()
+    lcp_f = ck / f"lcp32.{fprint}.npy"
     with status("LCP from RLBWT (Beller BFS)", logger):
-        lcp32 = CC.lcp_chunked(heads, lens, len(docs))
+        if lcp_f.exists():
+            lcp32 = np.load(lcp_f)
+            logger.info("[mums] LCP loaded from stage cache")
+        else:
+            lcp32 = CC.lcp_chunked(heads, lens, len(docs))
+            np.save(lcp_f, lcp32)
     with status("thresholds", logger):
         thr = O.compute_thresholds_fast(heads, lens, lcp32)
     with status("multi-MUMs", logger):
@@ -194,6 +217,7 @@ def _stage_mums_chunked(docs: list[bytes], prefix: str, cfg: ColBwtConfig,
     F.write_col_mums(f"{fa}.col_mums", len(docs), ml, mp, cfg.rw_bytes)
     Path(f"{prefix}.lengths").write_text(
         "".join(f"{len(d)}\n" for d in docs))
+    shutil.rmtree(ck, ignore_errors=True)  # stage artifacts now authoritative
     logger.info("[mums] n=%d runs=%d multi-MUMs=%d (chunked)",
                 n_total, heads.size, ml.size)
 

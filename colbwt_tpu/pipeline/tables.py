@@ -91,6 +91,8 @@ def peek(dir_: str | Path, kind: str, index) -> dict | None:
         return None
     if meta.get("fingerprint") != index_fingerprint(index):
         return None
+    if not isinstance(meta.get("keys"), dict):
+        return None  # truncated meta.json: treat as invalid cache
     dev_bytes = 0
     for key, spec in meta["keys"].items():
         if spec["place"] == "dev":
@@ -182,6 +184,8 @@ def load_tables(dir_: str | Path, kind: str, index
         return None
     if meta.get("fingerprint") != index_fingerprint(index):
         return None
+    if not isinstance(meta.get("keys"), dict):
+        return None  # truncated meta.json: treat as invalid cache
     out: dict = {}
     for key, spec in meta["keys"].items():
         place = spec["place"]

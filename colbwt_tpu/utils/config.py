@@ -97,6 +97,22 @@ class ColBwtConfig:
     dp: int = 1                   # data-parallel (read-sharded) mesh axis
     ip: int = 1                   # index-parallel (interval-sharded) mesh axis
 
+    _CHOICES = {
+        "engine": ("auto", "pos", "mega", "fused", "xla"),
+        "run_split": ("auto", "always", "never"),
+        "table_cache": ("auto", "force", "off"),
+        "sa_mode": ("auto", "monolithic", "chunked"),
+    }
+
+    def __post_init__(self) -> None:
+        # enumerated string knobs fail loudly on typos ("on", "disable", …)
+        # instead of silently behaving like "auto"
+        for field, choices in self._CHOICES.items():
+            v = getattr(self, field)
+            if v not in choices:
+                raise ValueError(
+                    f"config.{field}={v!r} is not one of {choices}")
+
     @property
     def id_max(self) -> int:
         """Exclusive upper bound of col IDs (bit_max(ID_BITS),

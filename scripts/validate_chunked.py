@@ -48,6 +48,14 @@ def main():
     ap.add_argument("--min-mum", type=int, default=100)
     ap.add_argument("--split-rate", type=int, default=10)
     ap.add_argument("--workdir", type=str, default="/tmp/chunked_cache")
+    ap.add_argument("--phase", choices=["all", "build", "query"],
+                    default="all",
+                    help="'all' runs the build in-process then the query "
+                         "stage in a FRESH subprocess: hours of prior "
+                         "device use can leave the worker's HBM state "
+                         "poisoned (spurious RESOURCE_EXHAUSTED, "
+                         "logs/chunked_1g_r3.log) — a new process builds "
+                         "the same table instantly from the stage caches")
     args = ap.parse_args()
 
     from colbwt_tpu.io import native
@@ -177,6 +185,26 @@ def main():
         f"index bytes = {index.nbytes() / 1e9:.1f} GB  "
         f"build total = {time.perf_counter() - t_all:.0f}s")
     assert index.wide
+
+    if args.phase == "build":
+        log("build phase done (query skipped)")
+        return
+    if args.phase == "all":
+        # query in a FRESH process: after hours of device use the worker's
+        # HBM state can be poisoned (round-3's spurious RESOURCE_EXHAUSTED
+        # needed a manual rescue, logs/chunked_1g_r3b.log) — this makes the
+        # rescue the code path
+        import subprocess
+
+        del tbl, index, heads, lens, bits, ids, thr, text
+        gc.collect()
+        cmd = [sys.executable, __file__, "--phase", "query"]
+        for k, v in vars(args).items():
+            if k == "phase":
+                continue
+            cmd += [f"--{k.replace('_', '-')}", str(v)]
+        log(f"spawning fresh query process: {' '.join(cmd)}")
+        sys.exit(subprocess.run(cmd).returncode)
 
     # --- reads ---------------------------------------------------------------
     reads = []
