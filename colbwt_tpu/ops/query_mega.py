@@ -113,10 +113,12 @@ def initial_state(mt: dict, batch: int):
             jnp.zeros((B,), dtype=jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("unroll", "ff_bound", "masked"))
+@functools.partial(jax.jit, static_argnames=("unroll", "ff_bound", "masked",
+                                             "packed_out", "fresh_state"))
 def query_chunk_mega(mt: dict, patterns: jnp.ndarray, lengths: jnp.ndarray,
                      state, step_offset: jnp.ndarray, unroll: int = 4,
-                     ff_bound: int = 2, masked: bool = True):
+                     ff_bound: int = 2, masked: bool = True,
+                     packed_out: bool = False, fresh_state: bool = False):
     """One chunk of the backward scan with carried state (long-read streaming,
     the -l mode of src/pml_query.cpp:126-128 re-imagined as chunked device
     scans).  `lengths` are the full read lengths; a lane is active while
@@ -130,14 +132,19 @@ def query_chunk_mega(mt: dict, patterns: jnp.ndarray, lengths: jnp.ndarray,
     single-chunk batches, steps past a lane's length only write pad columns
     (discarded at unpad) and the final state is unused — skipping the six
     selects per step shaves measurable overhead off the gather-bound loop.
-    Must stay True whenever the final state is consumed (chunked long reads)."""
+    Must stay True whenever the final state is consumed (chunked long reads).
+
+    packed_out emits one (pml << 8 | cid) plane instead of two, downcast to
+    uint16 only when fresh_state (mlen0 == 0 asserted by the caller) and
+    M <= 255 bound pml below 256 — the slim device->host scheme of the
+    transfer-bound drivers (BASELINE.md).  patterns may be uint8."""
     B, M = patterns.shape
     r = mt["r"]
     n = mt["n"]
     mega = mt["mega"]
     length_arr = mt["length"]
 
-    cols = patterns[:, ::-1].T
+    cols = patterns[:, ::-1].T.astype(jnp.int32)
     steps = jnp.arange(M, dtype=jnp.int32) + step_offset
 
     def body(state, xs):
@@ -180,28 +187,38 @@ def query_chunk_mega(mt: dict, patterns: jnp.ndarray, lengths: jnp.ndarray,
                             jnp.where(take_succ, rows[:, 9], lf_pos))
         new_len = jnp.where(match, mlen + 1, 0)
 
+        if packed_out:
+            out = ((new_len << 8) | cid_out,)
+        else:
+            out = (new_len, cid_out)
         if not masked:
-            return ((new_interval, new_offset, new_pos, new_len),
-                    (new_len, cid_out))
+            return ((new_interval, new_offset, new_pos, new_len), out)
         interval = jnp.where(valid, new_interval, interval)
         offset = jnp.where(valid, new_offset, offset)
         pos = jnp.where(valid, new_pos, pos)
         mlen = jnp.where(valid, new_len, mlen)
         return ((interval, offset, pos, mlen),
-                (jnp.where(valid, new_len, 0), jnp.where(valid, cid_out, 0)))
+                tuple(jnp.where(valid, o, 0) for o in out))
 
-    final, (pml_steps, cid_steps) = jax.lax.scan(
-        body, state, (cols, steps), unroll=unroll)
-    return (pml_steps.T[:, ::-1], cid_steps.T[:, ::-1]), final
+    final, outs = jax.lax.scan(body, state, (cols, steps), unroll=unroll)
+    if packed_out:
+        packed = outs[0].T[:, ::-1]
+        if fresh_state and M <= 255:
+            packed = packed.astype(jnp.uint16)  # pml < 256 provable
+        return (packed, None), final
+    return (outs[0].T[:, ::-1], outs[1].T[:, ::-1]), final
 
 
-@functools.partial(jax.jit, static_argnames=("unroll", "ff_bound"))
+@functools.partial(jax.jit, static_argnames=("unroll", "ff_bound",
+                                             "packed_out"))
 def query_batch_mega(mt: dict, patterns: jnp.ndarray, lengths: jnp.ndarray,
-                     unroll: int = 4, ff_bound: int = 2
+                     unroll: int = 4, ff_bound: int = 2,
+                     packed_out: bool = False
                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
     (pml, cid), _ = query_chunk_mega(
         mt, patterns, lengths, initial_state(mt, patterns.shape[0]),
-        jnp.int32(0), unroll=unroll, ff_bound=ff_bound, masked=False)
+        jnp.int32(0), unroll=unroll, ff_bound=ff_bound, masked=False,
+        packed_out=packed_out, fresh_state=True)
     return pml, cid
 
 

@@ -329,23 +329,32 @@ def _lt(a_hi, a_lo, b_hi, b_lo):
     return (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
 
 
-@functools.partial(jax.jit, static_argnames=("unroll", "ff_bound", "masked"))
+@functools.partial(jax.jit, static_argnames=("unroll", "ff_bound", "masked",
+                                             "packed_out", "fresh_state"))
 def query_chunk_mega_wide(mt: dict, patterns: jnp.ndarray,
                           lengths: jnp.ndarray, state,
                           step_offset: jnp.ndarray, unroll: int = 4,
-                          ff_bound: int = 2, masked: bool = True):
+                          ff_bound: int = 2, masked: bool = True,
+                          packed_out: bool = False,
+                          fresh_state: bool = False):
     """One chunk of the backward scan, carried state, limb positions.
     Mirrors ops.query_mega.query_chunk_mega exactly apart from the limb
     arithmetic; see that docstring for masked/ff_bound semantics.  Handles
     both table layouts: full (one 17-column gather per step) and compact
-    (a shared 8-column gather + a per-char 10-column gather)."""
+    (a shared 8-column gather + a per-char 10-column gather).
+
+    packed_out returns ((pml << 8 | cid, None), final) — one output plane
+    instead of two; it downcasts to uint16 only when fresh_state (caller
+    asserts mlen0 == 0) and M <= 255 make pml < 256 provable, an 8x
+    device->host byte saving for the transfer-bound one-shot/streaming
+    drivers (BASELINE.md).  patterns may be uint8 (slim uploads)."""
     B, M = patterns.shape
     r = mt["r"]
     compact = "shared" in mt
     length_arr = mt["length"]
     n_lo, n_hi = mt["n_lo"], mt["n_hi"]
 
-    cols = patterns[:, ::-1].T
+    cols = patterns[:, ::-1].T.astype(jnp.int32)
     steps = jnp.arange(M, dtype=jnp.int32) + step_offset
 
     def body(state, xs):
@@ -413,30 +422,39 @@ def query_chunk_mega_wide(mt: dict, patterns: jnp.ndarray,
                            jnp.where(take_succ, s_hi, lf_hi))
         new_len = jnp.where(match, mlen + 1, 0)
 
+        if packed_out:
+            out = ((new_len << 8) | cid_out,)
+        else:
+            out = (new_len, cid_out)
         if not masked:
-            return ((new_interval, new_offset, new_lo, new_hi, new_len),
-                    (new_len, cid_out))
+            return ((new_interval, new_offset, new_lo, new_hi, new_len), out)
         interval = jnp.where(valid, new_interval, interval)
         offset = jnp.where(valid, new_offset, offset)
         pos_lo = jnp.where(valid, new_lo, pos_lo)
         pos_hi = jnp.where(valid, new_hi, pos_hi)
         mlen = jnp.where(valid, new_len, mlen)
         return ((interval, offset, pos_lo, pos_hi, mlen),
-                (jnp.where(valid, new_len, 0), jnp.where(valid, cid_out, 0)))
+                tuple(jnp.where(valid, o, 0) for o in out))
 
-    final, (pml_steps, cid_steps) = jax.lax.scan(
-        body, state, (cols, steps), unroll=unroll)
-    return (pml_steps.T[:, ::-1], cid_steps.T[:, ::-1]), final
+    final, outs = jax.lax.scan(body, state, (cols, steps), unroll=unroll)
+    if packed_out:
+        packed = outs[0].T[:, ::-1]
+        if fresh_state and M <= 255:
+            packed = packed.astype(jnp.uint16)  # pml < 256 provable
+        return (packed, None), final
+    return (outs[0].T[:, ::-1], outs[1].T[:, ::-1]), final
 
 
-@functools.partial(jax.jit, static_argnames=("unroll", "ff_bound"))
+@functools.partial(jax.jit, static_argnames=("unroll", "ff_bound",
+                                             "packed_out"))
 def query_batch_mega_wide(mt: dict, patterns: jnp.ndarray,
                           lengths: jnp.ndarray, unroll: int = 4,
-                          ff_bound: int = 2
+                          ff_bound: int = 2, packed_out: bool = False
                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
     (pml, cid), _ = query_chunk_mega_wide(
         mt, patterns, lengths, initial_state_wide(mt, patterns.shape[0]),
-        jnp.int32(0), unroll=unroll, ff_bound=ff_bound, masked=False)
+        jnp.int32(0), unroll=unroll, ff_bound=ff_bound, masked=False,
+        packed_out=packed_out, fresh_state=True)
     return pml, cid
 
 

@@ -44,9 +44,14 @@ class QueryEngines:
         pos_k = (query_pos.choose_k(index, budget)
                  if (not index.wide and cfg.engine in ("auto", "pos")) else 0)
         pos_alpha = None
-        if pos_k >= 1 and set(index.alphabet.tolist()) - {1} <= set(b"ACGT"):
+        # The restricted-alphabet upgrade must run even when the GENERAL
+        # table doesn't fit (pos_k == 0): at config-4 scale the 6*n general
+        # T1 overflows the budget while the 5^k ACGT table fits — the
+        # restricted engine is exactly what large ACGT indexes need.
+        if (not index.wide and cfg.engine in ("auto", "pos")
+                and set(index.alphabet.tolist()) - {1} <= set(b"ACGT")):
             kq = query_pos.choose_k(index, budget, alphabet=b"ACGT")
-            if kq >= pos_k:
+            if kq >= max(pos_k, 1):
                 pos_k, pos_alpha = kq, b"ACGT"
         self.pos_budget = budget
         self.pos_k = pos_k
@@ -195,15 +200,25 @@ class QueryEngines:
                 return p, c, lens, (idxs, p2, c2)
             return p, c, lens, None
         enc, lens = index.encode_patterns(batch, padded)
+        if self.use_wide or self.use_mega:
+            # slim transfer scheme (same as the pos path above): uint8
+            # dense-id uploads + one packed u16 output plane when the
+            # padded length allows — ~8x fewer bytes/batch through the
+            # transfer-bound link than int32 enc + two int32 planes
+            enc = enc.astype(np.uint8)  # dense ids <= sigma < 256
         ej, lj = device_put_chunked(enc), jnp.asarray(lens)
         if self.use_wide:
             from colbwt_tpu.ops import query_mega_wide
 
+            # packed_out is u16 at padded <= 255, else a single int32
+            # plane (still 2x fewer bytes than two planes; lossless while
+            # reads stay under the 2**23 pml guard)
             p, c = query_mega_wide.query_batch_mega_wide(
-                mt, ej, lj, ff_bound=index.ff_bound)
+                mt, ej, lj, ff_bound=index.ff_bound, packed_out=True)
         elif self.use_mega:
             p, c = query_mega.query_batch_mega(mt, ej, lj,
-                                               ff_bound=index.ff_bound)
+                                               ff_bound=index.ff_bound,
+                                               packed_out=True)
         elif self.use_fused:
             from colbwt_tpu.ops import query_fused
 

@@ -120,12 +120,23 @@ def main():
 
     k = query_pos.choose_k(index, 13 << 30, alphabet=b"ACGT")
     if k >= 1:
+        # build through QueryEngines so the persisted-table-cache policy
+        # (pipeline/tables.py bandwidth-vs-build decision) runs and is
+        # recorded at this 11.8 GB table size
+        from colbwt_tpu.pipeline.engines import QueryEngines
+        from colbwt_tpu.utils.config import ColBwtConfig
+
+        cfg = ColBwtConfig(engine="pos", pos_hbm_budget=13 << 30)
         t = time.perf_counter()
-        pt = query_pos.build_pos_tables(index, k, hbm_budget_bytes=13 << 30,
-                                        alphabet=b"ACGT")
+        eng = QueryEngines(index, cfg, total_chars=len(reads) * 150,
+                           table_dir="/tmp/cfg4_tables")
+        assert eng.use_pos and eng.pos_k == k, (eng.name, k)
+        pt = eng.pt
         _ = int(np.asarray(pt["table"][:2, 0]).sum())
         log(f"pos tables k={k} (ACGT keys): {time.perf_counter() - t:.1f}s "
             f"({pt['table'].nbytes / 1e9:.1f} GB)")
+        for ev in eng.cache_events:
+            log(f"table cache: {ev}")
         M = -(-150 // k) * k
         dig, lens_, bad = query_pos._encode_digits(index, pt, reads, M)
         assert not bad.any()

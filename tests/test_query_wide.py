@@ -151,3 +151,29 @@ def test_compact_auto_selection(wide_setup):
     mt = query_mega_wide.build_mega_table_wide(index,
                                                hbm_budget_bytes=full - 1)
     assert "shared" in mt
+
+
+def test_wide_packed_out_matches_unpacked(wide_setup):
+    """packed_out (u16 at M <= 255, int32 above) must be a lossless
+    re-encoding of the two-plane outputs, and uint8 pattern uploads must
+    not change results (the slim transfer scheme of engines.dispatch)."""
+    import jax.numpy as jnp
+
+    from colbwt_tpu.ops.query_pos import unpack_pml_cid
+
+    rng, docs, big, index = wide_setup
+    reads = make_reads(rng, docs, 8)
+    mt = query_mega_wide.build_mega_table_wide(index)
+    for M in (64, 300):
+        enc, lens = index.encode_patterns(reads, max_len=M)
+        p0, c0 = query_mega_wide.query_batch_mega_wide(
+            mt, jnp.asarray(enc), jnp.asarray(lens),
+            ff_bound=index.ff_bound)
+        pk, none = query_mega_wide.query_batch_mega_wide(
+            mt, jnp.asarray(enc.astype(np.uint8)), jnp.asarray(lens),
+            ff_bound=index.ff_bound, packed_out=True)
+        assert none is None
+        assert pk.dtype == (jnp.uint16 if M <= 255 else jnp.int32)
+        p1, c1 = unpack_pml_cid(np.asarray(pk))
+        np.testing.assert_array_equal(np.asarray(p0), p1)
+        np.testing.assert_array_equal(np.asarray(c0), c1)
