@@ -33,6 +33,7 @@ MUT = 20_000
 N_READS = 262_144
 READ_LEN = 150
 BASELINE_READS = 1_024
+_TABLE_BUILD_S = float("nan")
 
 
 def log(msg: str) -> None:
@@ -130,8 +131,12 @@ def bench_tpu(index, reads) -> float:
     t0 = time.perf_counter()
     pt = query_pos.build_pos_tables(index, k, alphabet=b"ACGT")
     _ = int(np.asarray(pt["table"][:2, 0]).sum())  # materialize (on-device build)
+    global _TABLE_BUILD_S
+    _TABLE_BUILD_S = time.perf_counter() - t0
     log(f"[bench] pos tables k={k} (ACGT keys) built in "
-        f"{time.perf_counter()-t0:.1f}s ({pt['table'].nbytes / 1e6:.0f} MB)")
+        f"{_TABLE_BUILD_S:.1f}s ({pt['table'].nbytes / 1e6:.0f} MB) — "
+        f"recorded spread 28.6-356s, tunnel-bandwidth-bound not compute "
+        f"(logs/table_cache_probe.log)")
     from colbwt_tpu.utils.xfer import device_put_chunked
 
     M = -(-READ_LEN // k) * k  # key folding needs a multiple of k
@@ -159,6 +164,9 @@ def bench_tpu(index, reads) -> float:
 
 
 def bench_cpp(tbl, reads) -> float:
+    """Median of 5 draws: the single-core baseline swings 16k-45k reads/s
+    run to run on this host (BENCH_r01-03), which moved vs_baseline 2x
+    between rounds for non-code reasons — the median pins it."""
     from colbwt_tpu.io import native
 
     if not native.available():
@@ -166,12 +174,14 @@ def bench_cpp(tbl, reads) -> float:
         return float("nan")
     subset = reads[:BASELINE_READS]
     native.query_pml_serial(tbl, subset[:32])  # warm
-    t0 = time.perf_counter()
-    native.query_pml_serial(tbl, subset)
-    dt = time.perf_counter() - t0
-    rps = len(subset) / dt
-    log(f"[bench] C++ 1-core: {dt:.3f}s for {len(subset)} reads -> "
-        f"{rps:.0f} reads/s")
+    draws = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        native.query_pml_serial(tbl, subset)
+        draws.append(len(subset) / (time.perf_counter() - t0))
+    rps = float(np.median(draws))
+    log(f"[bench] C++ 1-core: median {rps:.0f} reads/s over 5 draws "
+        f"[{', '.join(f'{d:.0f}' for d in sorted(draws))}]")
     return rps
 
 
@@ -189,6 +199,8 @@ def main() -> None:
         "value": round(tpu_rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs, 2),
+        "baseline_reads_per_s_median_of_5": round(cpp_rps, 1),
+        "pos_table_build_s": round(_TABLE_BUILD_S, 1),
     }))
 
 
