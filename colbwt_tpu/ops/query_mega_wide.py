@@ -258,28 +258,28 @@ def build_mega_table_wide(index: ColPmlIndex, compact: bool | None = None,
     return out
 
 
-def build_mega_rows_wide_host(index: ColPmlIndex) -> np.ndarray:
-    """Host-side ((sigma+1)*r, 17) wide mega rows — used by the sharded-wide
-    engine (parallel/query_sharded_mega_wide.py places slices on a mesh) and
-    as the differential oracle for the on-device builder."""
-    _check_wide_buildable(index)
+def _host_block_rows(index: ColPmlIndex, c: int, a: int, b: int
+                     ) -> np.ndarray:
+    """Rows for char c, run indices [a, b) of the host wide mega table —
+    O(b-a) work and memory (plus O(log r) searchsorted per row), so callers
+    can assemble arbitrary slices without the full O(sigma*r) table."""
     r, n = index.r, index.n
-    char = index.char.astype(np.int64)
-    col_id = index.col_id.astype(np.int64)
+    char = index.char[a:b].astype(np.int64)
     idx = index.idx.astype(np.int64)
     length = index.length.astype(np.int64)
-    di = index.dest_interval.astype(np.int64)
-    doff = index.dest_offset.astype(np.int64)
+    di_full = index.dest_interval.astype(np.int64)
+    doff_full = index.dest_offset.astype(np.int64)
+    di = di_full[a:b]
+    doff = doff_full[a:b]
     thr = index.threshold.astype(np.int64)
-    sigma = index.sigma
 
     lf_pos0 = idx[di] + doff
     dlen0 = length[di]
 
     def resolve(start_run, start_off, ok):
         sr = np.where(ok, start_run, 0)
-        d = di[sr]
-        o = doff[sr] + start_off
+        d = di_full[sr]
+        o = doff_full[sr] + start_off
         pos = idx[d] + o
         out_int = np.searchsorted(idx, pos, side="right") - 1
         out_off = pos - idx[out_int]
@@ -287,29 +287,54 @@ def build_mega_rows_wide_host(index: ColPmlIndex) -> np.ndarray:
                 np.where(ok, out_off, 0),
                 np.where(ok, pos, 0))
 
-    mega = np.zeros(((sigma + 1) * r, _WIDTH), dtype=np.int32)
-    for c in range(sigma + 1):
-        blk = mega[c * r:(c + 1) * r]
-        blk[:, _MATCH] = (char == c)
-        blk[:, _CID] = col_id
-        blk[:, _DI0] = di
-        blk[:, _DOFF0] = doff
-        blk[:, _LF_LO], blk[:, _LF_HI] = _limbs(lf_pos0)
-        blk[:, _DLEN0] = dlen0
-        si = index.succ_jump[c].astype(np.int64)
-        pi = index.pred_jump[c].astype(np.int64)
-        has_succ = si < r
-        has_pred = pi >= 0
-        thr_c = np.where(has_succ, thr[np.minimum(si, r - 1)], n)
-        blk[:, _THR_LO], blk[:, _THR_HI] = _limbs(thr_c)
-        s_int, s_off, s_pos = resolve(si, np.zeros(r, dtype=np.int64), has_succ)
-        blk[:, _S_INT], blk[:, _S_OFF] = s_int, s_off
-        blk[:, _S_LO], blk[:, _S_HI] = _limbs(s_pos)
-        p_run = np.maximum(pi, 0)
-        p_int, p_off, p_pos = resolve(p_run, length[p_run] - 1, has_pred)
-        blk[:, _P_INT], blk[:, _P_OFF] = p_int, p_off
-        blk[:, _P_LO], blk[:, _P_HI] = _limbs(p_pos)
-    return mega
+    blk = np.zeros((b - a, _WIDTH), dtype=np.int32)
+    blk[:, _MATCH] = (char == c)
+    blk[:, _CID] = index.col_id[a:b]
+    blk[:, _DI0] = di
+    blk[:, _DOFF0] = doff
+    blk[:, _LF_LO], blk[:, _LF_HI] = _limbs(lf_pos0)
+    blk[:, _DLEN0] = dlen0
+    si = index.succ_jump[c][a:b].astype(np.int64)
+    pi = index.pred_jump[c][a:b].astype(np.int64)
+    has_succ = si < r
+    has_pred = pi >= 0
+    thr_c = np.where(has_succ, thr[np.minimum(si, r - 1)], n)
+    blk[:, _THR_LO], blk[:, _THR_HI] = _limbs(thr_c)
+    s_int, s_off, s_pos = resolve(si, np.zeros(b - a, dtype=np.int64),
+                                  has_succ)
+    blk[:, _S_INT], blk[:, _S_OFF] = s_int, s_off
+    blk[:, _S_LO], blk[:, _S_HI] = _limbs(s_pos)
+    p_run = np.maximum(pi, 0)
+    p_int, p_off, p_pos = resolve(p_run, length[p_run] - 1, has_pred)
+    blk[:, _P_INT], blk[:, _P_OFF] = p_int, p_off
+    blk[:, _P_LO], blk[:, _P_HI] = _limbs(p_pos)
+    return blk
+
+
+def wide_rows_host_slice(index: ColPmlIndex, lo: int, hi: int,
+                         rows_padded: int | None = None) -> np.ndarray:
+    """Global rows [lo, hi) of the ((sigma+1)*r [padded], 17) wide mega
+    table, assembled per intersecting char block — host peak O(hi-lo), the
+    building block of the sharded-wide placement
+    (parallel/query_sharded_mega_wide.shard_mega_wide)."""
+    _check_wide_buildable(index)
+    r = index.r
+    rows = (index.sigma + 1) * r
+    out = np.zeros((hi - lo, _WIDTH), dtype=np.int32)
+    g = lo
+    while g < min(hi, rows):
+        c, i = divmod(g, r)
+        take = min(hi, (c + 1) * r, rows) - g
+        out[g - lo:g - lo + take] = _host_block_rows(index, c, i, i + take)
+        g += take
+    return out  # rows >= (sigma+1)*r stay zero (ip padding)
+
+
+def build_mega_rows_wide_host(index: ColPmlIndex) -> np.ndarray:
+    """Host-side ((sigma+1)*r, 17) wide mega rows — the differential oracle
+    for the on-device builder and the per-slice assembler."""
+    _check_wide_buildable(index)
+    return wide_rows_host_slice(index, 0, (index.sigma + 1) * index.r)
 
 
 def initial_state_wide(mt: dict, batch: int):

@@ -40,19 +40,37 @@ LIMB = QW.LIMB
 
 def shard_mega_wide(index: ColPmlIndex, mesh: Mesh,
                     mega_host: np.ndarray | None = None) -> dict:
-    """Pad the host wide mega rows to an ip multiple and place on the mesh."""
-    mega = (mega_host if mega_host is not None
-            else QW.build_mega_rows_wide_host(index))
+    """Place the wide mega rows on the mesh, ip-sharded over rows.
+
+    By default each device's slice is assembled on demand from the r-sized
+    per-run arrays (QW.wide_rows_host_slice) — host peak is O(table/ip),
+    never the full O((sigma+1)*r*17) table (6.2 GB at r = 15.2M), which at
+    pod scale was the single-chip OOM pattern moved one layer out.  Passing
+    mega_host places a prebuilt table instead (differential tests)."""
     ip = mesh.shape["ip"]
-    rows = mega.shape[0]
-    pad = (-rows) % ip
-    if pad:
-        mega = np.concatenate(
-            [mega, np.zeros((pad, mega.shape[1]), mega.dtype)])
+    rows = (index.sigma + 1) * index.r
+    if mega_host is not None:
+        assert mega_host.shape[0] == rows
+    rows_padded = rows + ((-rows) % ip)
+    sharding = NamedSharding(mesh, P("ip", None))
+
+    def _slice(idx):
+        sl = idx[0]
+        lo = sl.start or 0
+        hi = sl.stop if sl.stop is not None else rows_padded
+        if mega_host is not None:
+            out = np.zeros((hi - lo, mega_host.shape[1]), mega_host.dtype)
+            take = max(0, min(hi, rows) - lo)
+            out[:take] = mega_host[lo:lo + take]
+            return out
+        return QW.wide_rows_host_slice(index, lo, hi, rows_padded)
+
+    mega = jax.make_array_from_callback(
+        (rows_padded, QW._WIDTH), sharding, _slice)
     n = index.n
     p0 = n - 1
     return {
-        "mega": jax.device_put(mega, NamedSharding(mesh, P("ip", None))),
+        "mega": mega,
         # run lengths replicated (4 B/run) for fast-forward rounds beyond
         # the precomputed first one
         "length": jax.device_put(index.length.astype(np.int32),

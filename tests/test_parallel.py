@@ -188,3 +188,19 @@ def test_router_routes_wide(wide_setup, setup):
     assert used == name
     for a, b in zip(p[:len(reads)], ref_p):
         np.testing.assert_array_equal(a, b)
+
+
+def test_shard_mega_wide_slice_placement_matches_host_table(wide_setup):
+    """The on-demand per-slice placement (host peak O(table/ip)) must equal
+    placing the prebuilt host table, for every ip split."""
+    from colbwt_tpu.ops import query_mega_wide as QW
+    from colbwt_tpu.parallel.query_sharded_mega_wide import shard_mega_wide
+
+    index, _, _, _ = wide_setup
+    host = QW.build_mega_rows_wide_host(index)
+    for dp, ip in ((2, 4), (1, 8), (8, 1)):
+        mesh = make_mesh(dp, ip)
+        st_cb = shard_mega_wide(index, mesh)
+        st_host = shard_mega_wide(index, mesh, mega_host=host)
+        np.testing.assert_array_equal(np.asarray(st_cb["mega"]),
+                                      np.asarray(st_host["mega"]))
