@@ -242,21 +242,28 @@ def multi_mum_scan(lcp: jnp.ndarray, sa_docs: jnp.ndarray,
     return is_mum, ell
 
 
-@functools.partial(jax.jit, static_argnames=("num_docs", "min_mum"))
+@functools.partial(jax.jit, static_argnames=("num_docs",))
 def _mum_scan_chunk(lcp_s: jnp.ndarray, docs_s: jnp.ndarray,
                     chg_s: jnp.ndarray, limit: jnp.ndarray,
-                    num_docs: int, min_mum: int
+                    min_mum: jnp.ndarray, num_docs: int
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One chunk of the multi-MUM scan (window conditions identical to
     multi_mum_scan; differential-tested against it).
 
     Inputs are slices with a 2N+2 halo past the chunk: for chunk [s, s+C),
     lcp_s = lcp[s : s+C+2N+2] (0-padded past n), docs_s = doc_of_sa likewise
-    (-1-padded), chg_s = prev-char run-change bits likewise (1-padded), and
+    (uint16 with fill 65535 when N < 65535, else int32 with fill -1 —
+    either fill only self-matches in the pad region, which in-range windows
+    never see), chg_s = prev-char run-change bits (uint8, 1-padded), and
     limit = n - N - s (window starts s+i with i > limit are out of range).
     All chunk-local arithmetic is int32 regardless of n (the wide regime
     n >= 2**31 only needs int64 on the host side), and peak HBM is O(C), so
     collections far beyond HBM stream through a fixed-shape program.
+
+    Transfer-slimmed both ways for the tunnel-bound hosts (BASELINE.md):
+    uploads are 4+2+1 B/rank, min_mum is traced (no per-config recompile),
+    and the hit mask returns as PACKED BITS (C/8 bytes) with ell left on
+    device — the caller gathers only the hit positions' lengths.
     """
     N = num_docs
     C = lcp_s.shape[0] - (2 * N + 2)
@@ -291,61 +298,119 @@ def _mum_scan_chunk(lcp_s: jnp.ndarray, docs_s: jnp.ndarray,
     i_local = jnp.arange(C, dtype=jnp.int32)
     is_mum = ((ell >= min_mum) & uniq & covers & left_max
               & (i_local <= limit))
-    return is_mum, ell
+    return jnp.packbits(is_mum, bitorder="little"), ell
+
+
+@jax.jit
+def _gather_i32(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(arr, idx, mode="clip")
+
+
+def _gather_hits(ell_dev, pos_local: np.ndarray) -> np.ndarray:
+    """Download ell values at hit positions only: indices padded to the next
+    power of two (few program shapes), gathered on device, sliced on host."""
+    if pos_local.size == 0:
+        return np.empty(0, dtype=np.int64)
+    m = 1 << (int(pos_local.size) - 1).bit_length()
+    idx = np.zeros(m, dtype=np.int32)
+    idx[:pos_local.size] = pos_local
+    vals = np.asarray(_gather_i32(ell_dev, jnp.asarray(idx)))
+    return vals[:pos_local.size].astype(np.int64)
 
 
 def find_multi_mums_chunked(lcp: np.ndarray, sa_docs: np.ndarray,
                             run_change: np.ndarray, num_docs: int,
-                            min_mum: int, chunk: int = 1 << 26
-                            ) -> tuple[np.ndarray, np.ndarray]:
+                            min_mum: int, chunk: int = 1 << 26,
+                            log=None) -> tuple[np.ndarray, np.ndarray]:
     """Stream the multi-MUM scan through the device in fixed-shape chunks.
 
     Same outputs as find_multi_mums_jax, but peak HBM is O(chunk) instead of
     O(n), so n is bounded by host RAM only (the n >= 2**31 HPRC-class
     regime; the reference's mumemto stage runs PFP on the host for the same
-    reason, SURVEY §2.2)."""
+    reason, SURVEY §2.2).
+
+    The chunk size is bucketed to a power of two so the compiled program's
+    shape is shared across collections (one (C, N) program per document
+    count, persisted by the compilation cache across processes), and the
+    compile is done AOT with its time logged separately from execution —
+    the two were conflated in every round-3 build log."""
+    import time as _time
+
     n = int(np.asarray(lcp).shape[0])
     N = num_docs
     halo = 2 * N + 2
-    C = min(chunk, n)
+    C = min(chunk, 1 << max(13, (max(n, 2) - 1).bit_length()))
+    use_u16 = N < 65535
+    docs_dtype = np.uint16 if use_u16 else np.int32
+    docs_fill = 65535 if use_u16 else -1
+
+    def slice_padded(arr, s, fill, dtype):
+        from colbwt_tpu.utils.xfer import device_put_chunked
+
+        sl = np.asarray(arr[s:s + C + halo])
+        if sl.size < C + halo:
+            sl = np.concatenate(
+                [sl, np.full(C + halo - sl.size, fill, arr.dtype)])
+        # chunked upload: ~0.8 GB per scan chunk through the tunneled
+        # backend is 27x faster in 16 MB slices (utils/xfer.py)
+        return device_put_chunked(sl.astype(dtype, copy=False))
+
+    # AOT compile once; log compile vs execute split
+    t0 = _time.perf_counter()
+    shape32 = jax.ShapeDtypeStruct((C + halo,), jnp.int32)
+    compiled = _mum_scan_chunk.lower(
+        shape32, jax.ShapeDtypeStruct((C + halo,), docs_dtype),
+        jax.ShapeDtypeStruct((C + halo,), jnp.uint8),
+        jax.ShapeDtypeStruct((), jnp.int32), jax.ShapeDtypeStruct((), jnp.int32),
+        num_docs=N).compile()
+    compile_s = _time.perf_counter() - t0
+    if log:
+        log(f"mum-scan chunk program (C = {C:,}, N = {N}): "
+            f"compile {compile_s:.1f}s")
+
     out_lens: list[np.ndarray] = []
     out_pos: list[np.ndarray] = []
-    for s in range(0, n, C):
-        def slice_padded(arr, fill, dtype):
-            from colbwt_tpu.utils.xfer import device_put_chunked
+    t_exec = _time.perf_counter()
+    pending = None  # (s, packed_dev, ell_dev): 1-deep pipeline
+    mm = jnp.int32(min_mum)
 
-            sl = np.asarray(arr[s:s + C + halo])
-            if sl.size < C + halo:
-                sl = np.concatenate(
-                    [sl, np.full(C + halo - sl.size, fill, arr.dtype)])
-            # chunked upload: ~0.8 GB per scan chunk through the tunneled
-            # backend is 27x faster in 16 MB slices (utils/xfer.py)
-            return device_put_chunked(sl.astype(dtype, copy=False))
-
-        is_mum, ell = _mum_scan_chunk(
-            slice_padded(lcp, 0, np.int32),
-            slice_padded(sa_docs, -1, np.int32),
-            slice_padded(run_change, 1, np.int32),
-            jnp.int32(min(n - N - s, C)),  # clip: n - s overflows int32 at wide n
-            N, min_mum)
-        mask = np.asarray(is_mum)
-        pos_local = np.flatnonzero(mask)
+    def drain(p):
+        s, packed_dev, ell_dev = p
+        bits = np.unpackbits(np.asarray(packed_dev), bitorder="little")[:C]
+        pos_local = np.flatnonzero(bits)
         out_pos.append(pos_local.astype(np.int64) + s)
-        out_lens.append(np.asarray(ell)[pos_local].astype(np.int64))
+        out_lens.append(_gather_hits(ell_dev, pos_local))
+
+    for s in range(0, n, C):
+        packed_dev, ell_dev = compiled(
+            slice_padded(lcp, s, 0, np.int32),
+            slice_padded(sa_docs, s, docs_fill, docs_dtype),
+            slice_padded(run_change, s, 1, np.uint8),
+            jnp.int32(min(n - N - s, C)),  # clip: n - s overflows int32 at wide n
+            mm)
+        if pending is not None:
+            drain(pending)
+        pending = (s, packed_dev, ell_dev)
+    if pending is not None:
+        drain(pending)
+    if log:
+        log(f"mum-scan execute+transfer ({-(-n // C)} chunks): "
+            f"{_time.perf_counter() - t_exec:.1f}s")
     if not out_pos:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy()
     return np.concatenate(out_lens), np.concatenate(out_pos)
 
 
-# above this n the one-shot scan's ~10 n-sized device arrays overflow HBM;
-# stream fixed-shape chunks instead (observed: n = 368M OOMs at 15.5 GB)
-_CHUNKED_SCAN_MIN_N = 1 << 27
+# above this n, stream fixed-shape chunks instead of the one-shot scan:
+# shared program shapes across collections (compile-cache hits) and O(C)
+# HBM (the one-shot scan's ~10 n-sized arrays OOM'd at n = 368M / 15.5 GB)
+_CHUNKED_SCAN_MIN_N = 1 << 22
 
 
 def find_multi_mums_jax(ranks: np.ndarray, sa: np.ndarray, lcp: np.ndarray,
-                        doc_ids: np.ndarray, num_docs: int, min_mum: int = 1
-                        ) -> tuple[np.ndarray, np.ndarray]:
+                        doc_ids: np.ndarray, num_docs: int, min_mum: int = 1,
+                        log=None) -> tuple[np.ndarray, np.ndarray]:
     """Host wrapper matching oracle.find_multi_mums' signature and outputs."""
     if num_docs < 2:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
@@ -356,7 +421,8 @@ def find_multi_mums_jax(ranks: np.ndarray, sa: np.ndarray, lcp: np.ndarray,
         run_change = np.ones(sa.shape[0], dtype=np.uint8)
         np.not_equal(prev_rank[1:], prev_rank[:-1], out=run_change[1:].view(bool))
         return find_multi_mums_chunked(lcp, sa_docs.astype(np.int32),
-                                       run_change, num_docs, min_mum)
+                                       run_change, num_docs, min_mum,
+                                       log=log)
     is_mum, ell = multi_mum_scan(
         jnp.asarray(lcp, dtype=jnp.int32), jnp.asarray(sa_docs.astype(np.int32)),
         jnp.asarray(prev_rank.astype(np.int32)), num_docs, min_mum)

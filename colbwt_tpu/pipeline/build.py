@@ -119,7 +119,8 @@ def stage_mums(docs: list[bytes], prefix: str, cfg: ColBwtConfig, logger):
             if use_device and len(docs) >= 2:
                 from colbwt_tpu.ops import construct_jax as CJ
                 ml, mp = CJ.find_multi_mums_jax(
-                    ranks, sa, lcp, doc_ids, len(docs), cfg.min_mum)
+                    ranks, sa, lcp, doc_ids, len(docs), cfg.min_mum,
+                    log=lambda m: logger.info("[mums] %s", m))
             else:
                 ml, mp = O.find_multi_mums(
                     ranks, sa, lcp, doc_ids, len(docs), cfg.min_mum)
@@ -204,7 +205,8 @@ def _stage_mums_chunked(docs: list[bytes], prefix: str, cfg: ColBwtConfig,
 
             rc = CC.run_change_from_runs(heads, lens)
             ml, mp = CJ.find_multi_mums_chunked(
-                lcp32, doc_of.astype(np.int32), rc, len(docs), cfg.min_mum)
+                lcp32, doc_of.astype(np.int32), rc, len(docs), cfg.min_mum,
+                log=lambda m: logger.info("[mums] %s", m))
             del rc
         else:
             ml = np.empty(0, dtype=np.int64)

@@ -146,7 +146,7 @@ def main():
         del prev
         gc.collect()
         ml, mp = CJ.find_multi_mums_chunked(lcp32, doc_of, run_change, N,
-                                            args.min_mum)
+                                            args.min_mum, log=log)
         del doc_of, run_change, ranks, sa
         gc.collect()
         np.savez(mums_f, ml=ml, mp=mp)
