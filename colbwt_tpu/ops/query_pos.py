@@ -366,9 +366,37 @@ def query_chunk_pos(pt_table, n, patterns, lengths, pos0, mlen0, step_offset,
     return (packed >> 8, packed & 0xFF), (pos, mlen)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "A", "packed_out"))
+def pack_digits(dig: np.ndarray, A: int) -> tuple[np.ndarray, int]:
+    """Pack a (B, M) digit matrix to (B, M*bits/8) uint8 — 2 bits/digit for
+    A <= 4 (ACGT keys), 4 bits for A <= 16; returns (packed, bits) or
+    (dig, 0) when A is too large to pack.  M must be a multiple of 8/bits.
+    Cuts the upload plane 4x (or 2x) on transfer-bound links; the device
+    unpacks with two shifts (query_batch_pos pack=bits)."""
+    if A > 16:
+        return dig, 0
+    bits = 2 if A <= 4 else 4
+    per = 8 // bits
+    B, M = dig.shape
+    assert M % per == 0, (M, per)
+    grp = dig.reshape(B, M // per, per).astype(np.uint16)
+    shifts = (np.arange(per, dtype=np.uint16) * bits)[None, None, :]
+    return (grp << shifts).sum(axis=2).astype(np.uint8), bits
+
+
+@functools.partial(jax.jit, static_argnames=("pack",))
+def _unpack_digits(packed: jnp.ndarray, pack: int) -> jnp.ndarray:
+    per = 8 // pack
+    B = packed.shape[0]
+    shifts = (jnp.arange(per, dtype=jnp.uint8) * pack)[None, None, :]
+    dig = (packed[:, :, None] >> shifts) & ((1 << pack) - 1)
+    return dig.reshape(B, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "A", "packed_out", "pack"))
 def query_batch_pos(pt_table, n, patterns, lengths, k: int, A: int,
-                    packed_out: bool = False):
+                    packed_out: bool = False, pack: int = 0):
+    if pack:
+        patterns = _unpack_digits(patterns, pack)
     B = patterns.shape[0]
     pos0 = jnp.broadcast_to(n - 1, (B,)).astype(jnp.int32)
     mlen0 = jnp.zeros((B,), dtype=jnp.int32)

@@ -170,19 +170,27 @@ class QueryEngines:
 
         index, pt, mt, ft = self.index, self.pt, self.mt, self.ft
         if self.use_pos:
-            padded = -(-padded // self.pos_k) * self.pos_k  # M % k == 0
+            # M must divide both k (key folding) and the digit-packing
+            # group (4 digits/byte at A <= 4, 2 at A <= 16)
+            import math
+
+            per = 4 if pt["A"] <= 4 else (2 if pt["A"] <= 16 else 1)
+            grp = math.lcm(self.pos_k, per)  # e.g. k=3, per=4 -> 12
+            padded = -(-padded // grp) * grp
             if padded > 255 and max(len(r) for r in batch) <= 252:
                 padded = 252  # largest <= 255 multiple of every k <= 4:
                 # keeps the u16 packed plane for standard short reads whose
                 # power-of-2 bucket would round to 256
             dig, lens, bad = query_pos._encode_digits(index, pt, batch, padded)
+            # 2-bit packed digits up (ACGT keys) + one packed u16 plane
+            # down: ~16x fewer upload + 4x fewer download bytes than int32
+            # digits + two int32 planes — the one-shot and streaming
+            # drivers are transfer-bound on tunneled devices (BASELINE.md)
+            dig, pack = query_pos.pack_digits(dig, pt["A"])
             ej, lj = device_put_chunked(dig), jnp.asarray(lens)
-            # uint8 digits up + one packed u16 plane down: ~4x fewer bytes
-            # per batch than int32 digits + two int32 planes — the streaming
-            # driver is transfer-bound on tunneled devices (BASELINE.md)
             p, c = query_pos.query_batch_pos(pt["table"], pt["n"], ej, lj,
                                              k=self.pos_k, A=pt["A"],
-                                             packed_out=True)
+                                             packed_out=True, pack=pack)
             if bad.any():  # reads with non-key bytes: general k=1 fallback
                 idxs = np.flatnonzero(bad)
                 e2, l2 = index.encode_patterns([batch[i] for i in idxs],

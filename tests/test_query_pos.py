@@ -134,3 +134,35 @@ def test_packed_out_equals_unpacked(rng, M):
     p2, c2 = query_pos.unpack_pml_cid(pk)
     np.testing.assert_array_equal(np.asarray(p1), p2)
     np.testing.assert_array_equal(np.asarray(c1), c2)
+
+
+def test_pack_digits_roundtrip_and_query(rng):
+    """2-bit digit packing is lossless through the device unpack, and the
+    packed query path equals the unpacked one."""
+    import jax.numpy as jnp
+
+    from colbwt_tpu.models.index import ColPmlIndex
+    from colbwt_tpu.ops import query_pos
+    from tests.test_query_xla import build_index, make_reads
+
+    base = bytes(rng.choice(list(b"ACGT"), 400).astype("uint8"))
+    docs = random_docs(rng, 3, mutate_from=base)
+    tbl, _ = build_index(docs)
+    index = ColPmlIndex.from_table(tbl)
+    pt = query_pos.build_pos_tables(index, 2, alphabet=b"ACGT")
+    reads = make_reads(rng, docs, 8)
+    M = 64  # multiple of k=2 and of the 4-digits/byte group
+    dig, lens, bad = query_pos._encode_digits(index, pt, reads, M)
+    assert not bad.any()
+    packed, bits = query_pos.pack_digits(dig, pt["A"])
+    assert bits == 2 and packed.shape == (dig.shape[0], M // 4)
+    unp = np.asarray(query_pos._unpack_digits(jnp.asarray(packed), bits))
+    np.testing.assert_array_equal(unp, dig)
+    p0, c0 = query_pos.query_batch_pos(pt["table"], pt["n"],
+                                       jnp.asarray(dig), jnp.asarray(lens),
+                                       k=2, A=pt["A"])
+    p1, c1 = query_pos.query_batch_pos(pt["table"], pt["n"],
+                                       jnp.asarray(packed), jnp.asarray(lens),
+                                       k=2, A=pt["A"], pack=bits)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
