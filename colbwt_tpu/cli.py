@@ -37,7 +37,8 @@ def _build(args: argparse.Namespace) -> int:
     cfg = ColBwtConfig(
         mode=SplitMode(args.mode), split_rate=args.sub_sample,
         min_mum=args.min_mum, rev_comp=args.rev_comp, verbose=args.verbose,
-        force=args.force, keep_temp=args.keep)
+        force=args.force, keep_temp=args.keep,
+        sa_mode=args.sa_mode, chunk_chars=args.chunk_chars)
     build_pipeline(args.fastas, args.output, cfg, filelist=args.input)
     if args.clean:
         fa = f"{args.output}.fa"
@@ -96,6 +97,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="keep all temporary files")
     b.add_argument("--clean", action="store_true",
                    help="remove all intermediate files")
+    b.add_argument("--sa-mode", type=str, default="auto",
+                   choices=["auto", "monolithic", "chunked"],
+                   help="suffix-array construction lane: 'chunked' builds "
+                        "the RLBWT by per-chunk SA-IS + rank merge (no "
+                        "global SA; the reference's PFP scale role), "
+                        "'auto' switches when n exceeds the host SA budget")
+    b.add_argument("--chunk-chars", type=int, default=0,
+                   help="chunk size (characters) for --sa-mode chunked; "
+                        "0 = auto (half the monolithic SA RAM budget)")
 
     q = sub.add_parser("query", help="Compute PMLs and chain statistics")
     q.add_argument("index", type=str, help="output prefix of the build")
@@ -114,6 +124,16 @@ def main(argv: list[str] | None = None) -> int:
 
     args = parser.parse_args(argv)
     if args.command in ("build", "query"):
+        import os
+
+        plat = os.environ.get("COLBWT_PLATFORM")
+        if plat:
+            # this must beat the first backend init: some hosts pin
+            # JAX_PLATFORMS at interpreter start (tests/conftest.py note),
+            # so the env var alone cannot redirect a CLI run to CPU
+            import jax
+
+            jax.config.update("jax_platforms", plat)
         from colbwt_tpu.utils.log import enable_compilation_cache
 
         enable_compilation_cache()

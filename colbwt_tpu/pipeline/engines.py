@@ -207,6 +207,10 @@ class QueryEngines:
                         ff_bound=index.ff_bound)
                 return p, c, lens, (idxs, p2, c2)
             return p, c, lens, None
+        if self.use_wide or self.use_mega:
+            if padded > 255 and max(len(r) for r in batch) <= 255:
+                padded = 255  # keep the u16 packed plane for short reads
+                # whose power-of-2 bucket would round to 256
         enc, lens = index.encode_patterns(batch, padded)
         if self.use_wide or self.use_mega:
             # slim transfer scheme (same as the pos path above): uint8
