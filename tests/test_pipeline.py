@@ -244,3 +244,19 @@ def test_plain_bwt_constructor_path(toy):
     for f in ("char", "idx", "length", "dest_interval", "dest_offset",
               "col_id", "threshold"):
         np.testing.assert_array_equal(getattr(alt, f), getattr(ref, f))
+
+
+def test_cli_chunked_sa_mode_matches_monolithic(toy):
+    """--sa-mode chunked through the CLI produces identical artifacts to
+    the monolithic lane (and the intra-stage cache dir is cleaned up)."""
+    tmp, docs, reads = toy
+    a, b = str(tmp / "mono"), str(tmp / "chnk")
+    args = ["-l", "15", str(tmp / "seq1.fa"), str(tmp / "seq2.fa")]
+    assert cli_main(["build", "-o", a] + args) == 0
+    assert cli_main(["build", "-o", b, "--sa-mode", "chunked",
+                     "--chunk-chars", "300"] + args) == 0
+    for ext in ("bwt.heads", "bwt.len", "thr_pos", "col_mums",
+                "col_runs", "col_ids"):
+        assert (tmp / f"mono.fa.{ext}").read_bytes() == \
+            (tmp / f"chnk.fa.{ext}").read_bytes(), ext
+    assert not (tmp / "chnk.chunked_cache").exists()
