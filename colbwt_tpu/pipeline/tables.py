@@ -55,23 +55,33 @@ _BW_CACHE: float | None = None
 def h2d_bandwidth(sample_bytes: int = 32 << 20) -> float:
     """Host->device bandwidth in bytes/s, measured ONCE per process with a
     chunked upload of random int32s (random so a compressing transport
-    can't flatter the number).  ~30 ms on PCIe, ~2 s on the axon tunnel —
-    cheap relative to the multi-GB decisions it informs."""
+    can't flatter the number).
+
+    Adaptive two-stage probe: a 2 MB canary first — if the link is slow
+    (< 8 MB/s) its number already decides every load-vs-rebuild question
+    by an order of magnitude, so the big sample is skipped.  The round-4
+    config-4 run paid ~18 minutes for one 32 MB probe on a ~30 kB/s
+    degraded-tunnel phase (logs/config4_r4.log); the canary bounds that
+    worst case ~16x."""
     global _BW_CACHE
     if _BW_CACHE is None:
         import time
 
         from colbwt_tpu.utils.xfer import device_put_chunked
 
-        a = np.random.default_rng(0).integers(
-            0, 2**31 - 1, sample_bytes // 4, dtype=np.int32)
-        t0 = time.perf_counter()
-        x = device_put_chunked(a)
-        # materializing any element forces the whole donated-buffer write
-        # chain (block_until_ready can return early on axon — ROUND_NOTES)
-        _ = int(np.asarray(x[:1])[0])
-        _BW_CACHE = a.nbytes / max(time.perf_counter() - t0, 1e-9)
-        del x
+        def measure(nbytes: int) -> float:
+            a = np.random.default_rng(0).integers(
+                0, 2**31 - 1, nbytes // 4, dtype=np.int32)
+            t0 = time.perf_counter()
+            x = device_put_chunked(a)
+            # materializing any element forces the whole donated-buffer
+            # write chain (block_until_ready can return early on axon)
+            _ = int(np.asarray(x[:1])[0])
+            return a.nbytes / max(time.perf_counter() - t0, 1e-9)
+
+        canary = measure(2 << 20)
+        _BW_CACHE = (canary if canary < (8 << 20)
+                     else measure(sample_bytes))
     return _BW_CACHE
 
 
