@@ -494,7 +494,7 @@ def query_long_reads(index: ColPmlIndex, patterns: list[bytes],
     n_chunks = max(1, -(-max_m // chunk))
     M = n_chunks * chunk
     enc, lens = index.encode_patterns(patterns, max_len=M)
-    enc_j = jnp.asarray(enc)
+    enc_j = jnp.asarray(enc.astype(np.uint8))
     lens_j = jnp.asarray(lens)
 
     pml_full = np.zeros((B, M), dtype=np.int32)
@@ -503,11 +503,14 @@ def query_long_reads(index: ColPmlIndex, patterns: list[bytes],
     for j in range(n_chunks):
         lo = M - (j + 1) * chunk
         cols = enc_j[:, lo:lo + chunk]
-        (pml, cid), state = query_chunk_mega_wide(
+        # packed int32 plane (pml < 2**23 guard holds for any chunked read):
+        # half the download bytes of two planes; uint8 uploads
+        (packed, _none), state = query_chunk_mega_wide(
             mt, cols, lens_j, state, jnp.int32(j * chunk),
-            ff_bound=index.ff_bound)
-        pml_full[:, lo:lo + chunk] = np.asarray(pml)
-        cid_full[:, lo:lo + chunk] = np.asarray(cid)
+            ff_bound=index.ff_bound, packed_out=True)
+        pk = np.asarray(packed)
+        pml_full[:, lo:lo + chunk] = pk >> 8
+        cid_full[:, lo:lo + chunk] = pk & 0xFF
     return ([pml_full[b, M - int(lens[b]):] for b in range(B)],
             [cid_full[b, M - int(lens[b]):] for b in range(B)])
 
