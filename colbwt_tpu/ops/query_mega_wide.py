@@ -56,12 +56,16 @@ from colbwt_tpu.models.index import MAX_WIDE_RUN_LEN, ColPmlIndex
 NO_STATE = -1
 LIMB = 2**30
 
-# wide mega-row column layout (full table)
-_MATCH, _CID, _DI0, _DOFF0, _LF_LO, _LF_HI, _DLEN0 = range(7)
-_THR_LO, _THR_HI = 7, 8
-_S_INT, _S_OFF, _S_LO, _S_HI = 9, 10, 11, 12
-_P_INT, _P_OFF, _P_LO, _P_HI = 13, 14, 15, 16
-_WIDTH = 17
+# wide mega-row column layout (full table).  16 columns = 64 B rows: the
+# match flag rides bit 8 of the CID column (_MC = match << 8 | cid) —
+# probe_wide_w16.py measured 23.5 ns/step for the 64 B row vs 31.2 ns for
+# the earlier 17-column 68 B row (boundary-straddling gathers), a 1.33x
+# query-throughput win at identical information content.
+_MC, _DI0, _DOFF0, _LF_LO, _LF_HI, _DLEN0 = range(6)
+_THR_LO, _THR_HI = 6, 7
+_S_INT, _S_OFF, _S_LO, _S_HI = 8, 9, 10, 11
+_P_INT, _P_OFF, _P_LO, _P_HI = 12, 13, 14, 15
+_WIDTH = 16
 
 # compact layout: shared (char-independent) columns, padded to 8 for layout
 _SH_CHAR, _SH_CID, _SH_DI0, _SH_DOFF0, _SH_LF_LO, _SH_LF_HI, _SH_DLEN0 = range(7)
@@ -157,7 +161,8 @@ def _fill_block_full(buf, c, char, col_id, di, doff, length, idx_lo, idx_hi,
                      thr_lo, thr_hi, n_lo, n_hi, ff_bound: int):
     cols = _device_block_cols(c, char, col_id, di, doff, length, idx_lo,
                               idx_hi, thr_lo, thr_hi, n_lo, n_hi, ff_bound)
-    block = jnp.stack(cols, axis=1)
+    mc = (cols[0] << 8) | cols[1]  # match bit 8 | cid bits 0..7 (64 B rows)
+    block = jnp.stack((mc,) + cols[2:], axis=1)
     r = char.shape[0]
     return jax.lax.dynamic_update_slice(buf, block, (c * r, 0))
 
@@ -288,8 +293,7 @@ def _host_block_rows(index: ColPmlIndex, c: int, a: int, b: int
                 np.where(ok, pos, 0))
 
     blk = np.zeros((b - a, _WIDTH), dtype=np.int32)
-    blk[:, _MATCH] = (char == c)
-    blk[:, _CID] = index.col_id[a:b]
+    blk[:, _MC] = ((char == c).astype(np.int32) << 8) | index.col_id[a:b]
     blk[:, _DI0] = di
     blk[:, _DOFF0] = doff
     blk[:, _LF_LO], blk[:, _LF_HI] = _limbs(lf_pos0)
@@ -402,9 +406,10 @@ def query_chunk_mega_wide(mt: dict, patterns: jnp.ndarray,
             p_lo, p_hi = pc[:, _PC_P_LO], pc[:, _PC_P_HI]
         else:
             rows = jnp.take(mt["mega"], c * r + interval, axis=0,
-                            mode="clip")  # 1 gather
-            match = rows[:, _MATCH] == 1
-            cid_out = rows[:, _CID]
+                            mode="clip")  # 1 gather of one 64 B row
+            mc = rows[:, _MC]
+            match = (mc >> 8) == 1
+            cid_out = mc & 0xFF
             di0, doff0 = rows[:, _DI0], rows[:, _DOFF0]
             lf_lo_b, lf_hi_b = rows[:, _LF_LO], rows[:, _LF_HI]
             dlen0 = rows[:, _DLEN0]

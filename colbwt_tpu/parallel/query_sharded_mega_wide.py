@@ -129,8 +129,9 @@ def _sharded_mega_wide_chunk(mesh: Mesh, mega: jnp.ndarray,
             c, i = xs
             valid = i < lens
             rows = fetch_rows(c * r + interval)  # the ONE collective fetch
-            match = rows[:, QW._MATCH] == 1
-            cid_out = rows[:, QW._CID]
+            mc = rows[:, QW._MC]
+            match = (mc >> 8) == 1
+            cid_out = mc & 0xFF
 
             # match / no-reposition path: LF with carry + fast-forward
             doff = rows[:, QW._DOFF0] + offset

@@ -28,7 +28,7 @@ from pathlib import Path
 
 import numpy as np
 
-TABLES_FORMAT = 1
+TABLES_FORMAT = 2  # 2: wide mega rows went 17 -> 16 columns (match in _MC)
 
 
 def _crc(arr: np.ndarray) -> int:
