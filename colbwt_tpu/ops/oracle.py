@@ -467,13 +467,23 @@ def compute_thresholds_fast(heads: np.ndarray, lens: np.ndarray,
 
     pos_bits = max(int(n - 1).bit_length(), 1)
     cap = (1 << (63 - pos_bits)) - 1  # lcp budget left in the packed key
-    lcp64 = np.asarray(lcp, dtype=np.int64)
-    clamped = int(lcp64.max(initial=0)) > cap
-    packed = (np.minimum(lcp64, cap) if clamped else lcp64) << pos_bits
-    # += arange(n) in bounded chunks (a full int64 iota is 8n bytes)
+    lcp_in = np.asarray(lcp)
+    clamped = int(lcp_in.max(initial=0)) > cap
+    # pack (lcp << pos_bits) + position chunk by chunk into ONE int64
+    # buffer: peak extra memory is 8n + one chunk, not the 16n of a full
+    # int64 lcp copy plus the packed array (the round-4 n = 4.6e9 build
+    # spiked to 106 GB RSS in this stage — logs/chunked_4g_r4.log)
+    packed = np.empty(n, dtype=np.int64)
     step = 1 << 28
     for s in range(0, n, step):
-        packed[s:s + step] += np.arange(s, min(s + step, n), dtype=np.int64)
+        e = min(s + step, n)
+        seg = lcp_in[s:e].astype(np.int64)
+        if clamped:
+            np.minimum(seg, cap, out=seg)
+        seg <<= pos_bits
+        seg += np.arange(s, e, dtype=np.int64)
+        packed[s:e] = seg
+        del seg
     pos_mask = (1 << pos_bits) - 1
 
     for c in np.unique(heads):
@@ -493,7 +503,7 @@ def compute_thresholds_fast(heads: np.ndarray, lens: np.ndarray,
         if clamped:  # exact re-fix where clamping could hide the true argmin
             sus = np.flatnonzero((red >> pos_bits) >= cap)
             for s in sus:
-                seg = lcp64[lo[s]:hi[s] + 1]
+                seg = lcp_in[lo[s]:hi[s] + 1]
                 arg[s] = lo[s] + int(np.argmin(seg))
         thresholds[runs_c[1:]] = arg
     return thresholds
