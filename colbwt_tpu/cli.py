@@ -52,7 +52,9 @@ def _build(args: argparse.Namespace) -> int:
 def _query(args: argparse.Namespace) -> int:
     from colbwt_tpu.pipeline import query_pipeline, query_stream
 
-    cfg = ColBwtConfig(verbose=args.verbose)
+    cfg = ColBwtConfig(verbose=args.verbose, engine=args.engine)
+    if args.batch_size:
+        cfg.batch_size = args.batch_size
     if args.stream:
         if args.text:
             print("Error: --stream writes binary outputs only.",
@@ -121,6 +123,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--stream", action="store_true",
                    help="bounded-memory streaming mode for huge pattern "
                         "files (binary outputs only)")
+    q.add_argument("--batch-size", type=int, default=0,
+                   help="reads per device batch (0 = config default 8192); "
+                        "larger batches amortize per-batch link latency on "
+                        "slow host<->device transports")
+    q.add_argument("--engine", type=str, default="auto",
+                   choices=["auto", "pos", "mega", "fused", "xla"],
+                   help="query engine override (auto picks the fastest "
+                        "that fits HBM)")
 
     args = parser.parse_args(argv)
     if args.command in ("build", "query"):
