@@ -71,16 +71,19 @@ def chunk_spans(doc_starts: np.ndarray, max_chunk_chars: int
 
 def _input_fingerprint(text: np.ndarray, doc_starts: np.ndarray,
                        with_doc: bool) -> int:
-    """Cheap content fingerprint of a chunked-build input: CRC of the
-    doc_starts offsets plus a ~64k-element strided sample of the text, mixed
-    with the with_doc flag.  Guards checkpoint resume against a different
-    collection of identical total size (same pattern as
-    pipeline/tables.index_fingerprint)."""
+    """Content fingerprint of a chunked-build input: CRC of the doc_starts
+    offsets plus a FULL CRC of the text (chunked, so memmaps stream),
+    mixed with the with_doc flag.  Guards checkpoint resume against a
+    different collection — a strided sample would miss point-mutation-level
+    changes at gigabase scale (same-shape collections with different SNPs
+    are the common regeneration case); the full pass costs ~1 s/GB, noise
+    next to the hours-long build it protects."""
     import zlib
 
     h = zlib.crc32(np.ascontiguousarray(doc_starts).tobytes())
-    step = max(1, text.size // 65536)
-    h = zlib.crc32(np.ascontiguousarray(text[::step]).tobytes(), h)
+    step = 256 << 20
+    for s in range(0, text.size, step):
+        h = zlib.crc32(np.ascontiguousarray(text[s:s + step]).tobytes(), h)
     return (h << 1) | int(bool(with_doc))
 
 

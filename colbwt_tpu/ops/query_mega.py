@@ -243,17 +243,24 @@ def query_long_reads(index: ColPmlIndex, patterns: list[bytes],
     pml_full = np.zeros((B, M), dtype=np.int32)
     cid_full = np.zeros((B, M), dtype=np.int32)
     state = initial_state(mt, B)
+    # packed int32 plane halves the download bytes of two planes, but the
+    # pml << 8 packing overflows int32 once a match length reaches 2**23 —
+    # contig-length reads fall back to exact two-plane outputs
+    packed = (M < (1 << 23)
+              and int(index.col_id.max(initial=0)) <= 0xFF)
     for j in range(n_chunks):
         lo = M - (j + 1) * chunk
         cols = enc_j[:, lo:lo + chunk]
-        # packed int32 plane (pml < 2**23 guard holds for any chunked read):
-        # half the download bytes of two planes; uint8 uploads
-        (packed, _none), state = query_chunk_mega(
+        out, state = query_chunk_mega(
             mt, cols, lens_j, state, jnp.int32(j * chunk),
-            ff_bound=index.ff_bound, packed_out=True)
-        pk = np.asarray(packed)
-        pml_full[:, lo:lo + chunk] = pk >> 8
-        cid_full[:, lo:lo + chunk] = pk & 0xFF
+            ff_bound=index.ff_bound, packed_out=packed)
+        if packed:
+            pk = np.asarray(out[0])
+            pml_full[:, lo:lo + chunk] = pk >> 8
+            cid_full[:, lo:lo + chunk] = pk & 0xFF
+        else:
+            pml_full[:, lo:lo + chunk] = np.asarray(out[0])
+            cid_full[:, lo:lo + chunk] = np.asarray(out[1])
     return ([pml_full[b, M - int(lens[b]):] for b in range(B)],
             [cid_full[b, M - int(lens[b]):] for b in range(B)])
 

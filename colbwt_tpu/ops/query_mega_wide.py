@@ -15,10 +15,11 @@ Run-valued quantities (interval, r) remain single int32, matching the
 reference's RUN_BYTES=4 budget (r < 2**32).
 
 Gather cost on TPU is per *index*, width-free (docs/DESIGN_NOTES.md), so the
-wide row — 17 int32 columns instead of 16 — still costs ONE gather per read
-per character; large-n querying runs at narrow-engine speed.
+wide row — 16 int32 columns, 64 B, with the match flag folded into the CID
+column — still costs ONE gather per read per character; large-n querying
+runs at narrow-engine speed (23.5 ns/step measured, probe_wide_w16.py).
 
-TABLE BUILD IS ON DEVICE.  The table is (sigma+1)*r x 17 int32 — 6.2 GB at
+TABLE BUILD IS ON DEVICE.  The table is (sigma+1)*r x 16 int32 — 5.8 GB at
 r = 15.2M — and materializing it on host then shipping it OOMed a 16 GB chip
 (the chunked upload concatenated on device: 2x peak) and would cost minutes
 on a slow transfer path.  Instead only the r-sized per-run arrays travel
@@ -31,7 +32,7 @@ preallocated buffer — peak device memory is the table plus O(r) temps.
 
 Two layouts:
 
-- full (default): one ((sigma+1)*r, 17) table, ONE gather per step;
+- full (default): one ((sigma+1)*r, 16) table, ONE gather per step;
 - compact: the 7 char-independent columns (char/cid/LF dest) live once in a
   (r, 8)-padded shared table and only the 10 threshold_step columns replicate
   per char ((sigma+1)*r, 10) — 34% smaller at sigma = 5, two gathers per
@@ -95,7 +96,8 @@ def wide_table_bytes(index: ColPmlIndex, compact: bool = False) -> int:
 
 def _device_block_cols(c, char, col_id, di, doff, length, idx_lo, idx_hi,
                        thr_lo, thr_hi, n_lo, n_hi, ff_bound: int):
-    """All 17 column vectors of char block `c`, computed from the r-sized
+    """The 17 raw column vectors (match and cid still separate — builders
+    fold them into _MC) of char block `c`, computed from the r-sized
     per-run arrays.  succ/pred landing states use the same statically
     bounded LF fast-forward as the query step (run splitting guarantees
     every LF image spans <= ff_bound runs — include/ds/LF_table.hpp:251-262
@@ -197,6 +199,12 @@ def _check_wide_buildable(index: ColPmlIndex) -> None:
     if int(index.length.max(initial=0)) > MAX_WIDE_RUN_LEN:
         raise ValueError("run lengths must be <= 2**29 for limb arithmetic; "
                          "build with ColPmlIndex.build")
+    if int(index.col_id.max(initial=0)) > 0xFF:
+        # the 64 B row folds match into the CID column's bit 8; ids beyond
+        # the reference's 8-bit budget (ID_BITS, common.hpp:47) would
+        # collide with the flag
+        raise ValueError("wide mega rows require col ids < 256 "
+                         "(id_bits > 8 is not supported by this engine)")
 
 
 def _device_run_arrays(index: ColPmlIndex):
@@ -315,11 +323,11 @@ def _host_block_rows(index: ColPmlIndex, c: int, a: int, b: int
     return blk
 
 
-def wide_rows_host_slice(index: ColPmlIndex, lo: int, hi: int,
-                         rows_padded: int | None = None) -> np.ndarray:
-    """Global rows [lo, hi) of the ((sigma+1)*r [padded], 17) wide mega
-    table, assembled per intersecting char block — host peak O(hi-lo), the
-    building block of the sharded-wide placement
+def wide_rows_host_slice(index: ColPmlIndex, lo: int, hi: int) -> np.ndarray:
+    """Global rows [lo, hi) of the ((sigma+1)*r, 16) wide mega table
+    (callers may request hi beyond the last real row; the excess is the ip
+    padding and stays zero), assembled per intersecting char block — host
+    peak O(hi-lo), the building block of the sharded-wide placement
     (parallel/query_sharded_mega_wide.shard_mega_wide)."""
     _check_wide_buildable(index)
     r = index.r
@@ -335,7 +343,7 @@ def wide_rows_host_slice(index: ColPmlIndex, lo: int, hi: int,
 
 
 def build_mega_rows_wide_host(index: ColPmlIndex) -> np.ndarray:
-    """Host-side ((sigma+1)*r, 17) wide mega rows — the differential oracle
+    """Host-side ((sigma+1)*r, 16) wide mega rows — the differential oracle
     for the on-device builder and the per-slice assembler."""
     _check_wide_buildable(index)
     return wide_rows_host_slice(index, 0, (index.sigma + 1) * index.r)
@@ -505,17 +513,24 @@ def query_long_reads(index: ColPmlIndex, patterns: list[bytes],
     pml_full = np.zeros((B, M), dtype=np.int32)
     cid_full = np.zeros((B, M), dtype=np.int32)
     state = initial_state_wide(mt, B)
+    # packed int32 plane halves the download bytes of two planes, but the
+    # pml << 8 packing overflows int32 once a match length reaches 2**23 —
+    # contig-length reads fall back to exact two-plane outputs
+    packed = (M < (1 << 23)
+              and int(index.col_id.max(initial=0)) <= 0xFF)
     for j in range(n_chunks):
         lo = M - (j + 1) * chunk
         cols = enc_j[:, lo:lo + chunk]
-        # packed int32 plane (pml < 2**23 guard holds for any chunked read):
-        # half the download bytes of two planes; uint8 uploads
-        (packed, _none), state = query_chunk_mega_wide(
+        out, state = query_chunk_mega_wide(
             mt, cols, lens_j, state, jnp.int32(j * chunk),
-            ff_bound=index.ff_bound, packed_out=True)
-        pk = np.asarray(packed)
-        pml_full[:, lo:lo + chunk] = pk >> 8
-        cid_full[:, lo:lo + chunk] = pk & 0xFF
+            ff_bound=index.ff_bound, packed_out=packed)
+        if packed:
+            pk = np.asarray(out[0])
+            pml_full[:, lo:lo + chunk] = pk >> 8
+            cid_full[:, lo:lo + chunk] = pk & 0xFF
+        else:
+            pml_full[:, lo:lo + chunk] = np.asarray(out[0])
+            cid_full[:, lo:lo + chunk] = np.asarray(out[1])
     return ([pml_full[b, M - int(lens[b]):] for b in range(B)],
             [cid_full[b, M - int(lens[b]):] for b in range(B)])
 

@@ -176,6 +176,9 @@ def _stage_mums_chunked(docs: list[bytes], prefix: str, cfg: ColBwtConfig,
     ck = Path(f"{prefix}.chunked_cache")
     ck.mkdir(parents=True, exist_ok=True)
     fprint = CC._input_fingerprint(text, doc_starts, True)
+    # stage caches are written to a temp name then renamed: a kill DURING
+    # the multi-GB write (the exact crash this cache exists to survive)
+    # must not leave a truncated file that poisons every resume
     rle_f = ck / f"rlbwt.{fprint}.npz"
     with status("chunked RLBWT + doc array", logger):
         if rle_f.exists():
@@ -186,7 +189,9 @@ def _stage_mums_chunked(docs: list[bytes], prefix: str, cfg: ColBwtConfig,
             heads, lens, doc_of = CC.build_rlbwt_chunked(
                 text, doc_starts, chunk,
                 log=lambda m: logger.info("[mums] %s", m), cache_dir=ck)
-            np.savez(rle_f, heads=heads, lens=lens, doc_of=doc_of)
+            tmp = rle_f.with_suffix(".tmp.npz")
+            np.savez(tmp, heads=heads, lens=lens, doc_of=doc_of)
+            tmp.rename(rle_f)
     del text
     gc.collect()
     lcp_f = ck / f"lcp32.{fprint}.npy"
@@ -196,7 +201,9 @@ def _stage_mums_chunked(docs: list[bytes], prefix: str, cfg: ColBwtConfig,
             logger.info("[mums] LCP loaded from stage cache")
         else:
             lcp32 = CC.lcp_chunked(heads, lens, len(docs))
-            np.save(lcp_f, lcp32)
+            tmp = lcp_f.with_suffix(".tmp.npy")
+            np.save(tmp, lcp32)
+            tmp.rename(lcp_f)
     with status("thresholds", logger):
         thr = O.compute_thresholds_fast(heads, lens, lcp32)
     with status("multi-MUMs", logger):

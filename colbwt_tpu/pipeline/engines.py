@@ -55,6 +55,10 @@ class QueryEngines:
                 pos_k, pos_alpha = kq, b"ACGT"
         self.pos_budget = budget
         self.pos_k = pos_k
+        # packed (pml << 8 | cid) output planes require 8-bit cids — true
+        # for the reference's ID_BITS=8 budget; an id_bits>8 extension
+        # index falls back to two-plane outputs
+        self._cid8 = int(index.col_id.max(initial=0)) <= 0xFF
         self.use_pos = pos_k >= 1 and (cfg.engine == "pos" or large)
         self.use_wide = index.wide
         if self.use_wide and index.ff_bound < 2:
@@ -224,13 +228,14 @@ class QueryEngines:
 
             # packed_out is u16 at padded <= 255, else a single int32
             # plane (still 2x fewer bytes than two planes; lossless while
-            # reads stay under the 2**23 pml guard)
+            # reads stay under the 2**23 pml guard and cids fit 8 bits)
             p, c = query_mega_wide.query_batch_mega_wide(
-                mt, ej, lj, ff_bound=index.ff_bound, packed_out=True)
+                mt, ej, lj, ff_bound=index.ff_bound,
+                packed_out=self._cid8)
         elif self.use_mega:
             p, c = query_mega.query_batch_mega(mt, ej, lj,
                                                ff_bound=index.ff_bound,
-                                               packed_out=True)
+                                               packed_out=self._cid8)
         elif self.use_fused:
             from colbwt_tpu.ops import query_fused
 

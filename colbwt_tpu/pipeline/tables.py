@@ -79,6 +79,8 @@ def h2d_bandwidth(sample_bytes: int = 32 << 20) -> float:
             _ = int(np.asarray(x[:1])[0])
             return a.nbytes / max(time.perf_counter() - t0, 1e-9)
 
+        measure(64 << 10)  # warmup: first-touch backend init must not be
+        # billed to the canary (it would mimic a slow link on PCIe hosts)
         canary = measure(2 << 20)
         _BW_CACHE = (canary if canary < (8 << 20)
                      else measure(sample_bytes))
