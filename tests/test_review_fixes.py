@@ -187,3 +187,39 @@ def test_resolve_pos_budget():
             return {"bytes_limit": 12 << 30}
 
     assert device_hbm_bytes(FakeStats()) == 12 << 30
+
+
+def test_packed_planes_guard_wide_cids(rng):
+    """Indexes whose col ids exceed 8 bits (id_bits > 8 extension) must not
+    go through the (pml << 8 | cid) packed planes: dispatch falls back to
+    exact two-plane outputs, and the wide table build refuses outright."""
+    import pytest
+
+    from colbwt_tpu.models.index import ColPmlIndex
+    from colbwt_tpu.ops import query_mega_wide
+    from colbwt_tpu.pipeline.engines import QueryEngines
+    from colbwt_tpu.utils.config import ColBwtConfig
+    from tests.test_query_xla import build_index, make_reads
+    from tests.conftest import random_docs
+
+    base = bytes(rng.choice(list(b"ACGT"), 300).astype("uint8"))
+    docs = random_docs(rng, 3, mutate_from=base)
+    tbl, _ = build_index(docs)
+    index = ColPmlIndex.build(tbl, ff_bound=2)
+    # force a >8-bit cid (as an id_bits=16 build would produce)
+    index.col_id = index.col_id.copy()
+    index.col_id[index.col_id.argmax()] = 300
+    eng = QueryEngines(index, ColBwtConfig(engine="mega"),
+                       total_chars=10_000_000)
+    assert eng.use_mega and not eng._cid8
+    reads = make_reads(rng, docs, 4)
+    p, c, lens = QueryEngines.materialize(eng.dispatch(reads, 64))
+    assert c is not None  # two-plane path, no truncating pack
+    assert int(p.max()) >= 0
+
+    wtbl = build_index(docs)[0]
+    widx = ColPmlIndex.build(wtbl, ff_bound=2, wide=True)
+    widx.col_id = widx.col_id.copy()
+    widx.col_id[0] = 300
+    with pytest.raises(ValueError, match="col ids"):
+        query_mega_wide.build_mega_table_wide(widx)
