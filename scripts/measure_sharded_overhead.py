@@ -58,9 +58,10 @@ def build_index(n_target: int = 400_000):
     tbl = O.build_col_pml(heads, lens, np.empty(0, np.int64),
                           np.empty(0, np.int64), thr.astype(np.int64))
     index = ColPmlIndex.build(tbl, ff_bound=2)
+    windex = ColPmlIndex.build(tbl, ff_bound=2, wide=True)
     reads = [docs[0][int(s):int(s) + 150]
              for s in rng.integers(0, doc_len - 150, 4096)]
-    return index, reads
+    return index, windex, reads
 
 
 def time_fn(fn, warmup=1, iters=3):
@@ -75,12 +76,17 @@ def time_fn(fn, warmup=1, iters=3):
 
 
 def main():
+    from colbwt_tpu.models.index import ColPmlIndex
     from colbwt_tpu.ops import query_mega, query_xla
     from colbwt_tpu.parallel import make_mesh, query_batch_sharded
     from colbwt_tpu.parallel.query_sharded_mega import query_batch_sharded_mega
+    from colbwt_tpu.parallel.query_sharded_mega_wide import (
+        query_batch_sharded_mega_wide)
     from colbwt_tpu.parallel.query_sharded_pos import query_batch_sharded_pos
 
-    index, all_reads = build_index()
+    # windex: a forced-wide twin of the same index exercises the w16
+    # sharded-wide engine (two-limb positions) at identical shapes
+    index, windex, all_reads = build_index()
     print(f"index: n={index.n} r={index.r} ff_bound={index.ff_bound}",
           file=sys.stderr)
     rows = []
@@ -114,6 +120,10 @@ def main():
                                                         mesh=mesh, max_len=M,
                                                         k=2))
             rows.append(("sharded-pos", f"{dp}x{ip}", B, M, t / steps * 1e9))
+            t = time_fn(lambda: query_batch_sharded_mega_wide(
+                windex, reads, mesh=mesh, max_len=M))
+            rows.append(("sharded-wide", f"{dp}x{ip}", B, M,
+                         t / steps * 1e9))
             print(f"mesh {dp}x{ip} B={B} done", file=sys.stderr)
 
     print(f"{'engine':<14} {'mesh':<6} {'B':>6} {'M':>4} {'ns/step':>10}")
