@@ -181,11 +181,17 @@ def _stage_mums_chunked(docs: list[bytes], prefix: str, cfg: ColBwtConfig,
     # must not leave a truncated file that poisons every resume
     rle_f = ck / f"rlbwt.{fprint}.npz"
     with status("chunked RLBWT + doc array", logger):
+        heads = None
         if rle_f.exists():
-            z = np.load(rle_f)
-            heads, lens, doc_of = z["heads"], z["lens"], z["doc_of"]
-            logger.info("[mums] chunked RLBWT loaded from stage cache")
-        else:
+            try:
+                z = np.load(rle_f)
+                heads, lens, doc_of = z["heads"], z["lens"], z["doc_of"]
+                logger.info("[mums] chunked RLBWT loaded from stage cache")
+            except Exception:
+                logger.warning("[mums] corrupt RLBWT stage cache — "
+                               "rebuilding")
+                rle_f.unlink(missing_ok=True)
+        if heads is None:
             heads, lens, doc_of = CC.build_rlbwt_chunked(
                 text, doc_starts, chunk,
                 log=lambda m: logger.info("[mums] %s", m), cache_dir=ck)
@@ -196,10 +202,15 @@ def _stage_mums_chunked(docs: list[bytes], prefix: str, cfg: ColBwtConfig,
     gc.collect()
     lcp_f = ck / f"lcp32.{fprint}.npy"
     with status("LCP from RLBWT (Beller BFS)", logger):
+        lcp32 = None
         if lcp_f.exists():
-            lcp32 = np.load(lcp_f)
-            logger.info("[mums] LCP loaded from stage cache")
-        else:
+            try:
+                lcp32 = np.load(lcp_f)
+                logger.info("[mums] LCP loaded from stage cache")
+            except Exception:
+                logger.warning("[mums] corrupt LCP stage cache — rebuilding")
+                lcp_f.unlink(missing_ok=True)
+        if lcp32 is None:
             lcp32 = CC.lcp_chunked(heads, lens, len(docs))
             tmp = lcp_f.with_suffix(".tmp.npy")
             np.save(tmp, lcp32)

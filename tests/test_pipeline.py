@@ -260,3 +260,42 @@ def test_cli_chunked_sa_mode_matches_monolithic(toy):
         assert (tmp / f"mono.fa.{ext}").read_bytes() == \
             (tmp / f"chnk.fa.{ext}").read_bytes(), ext
     assert not (tmp / "chnk.chunked_cache").exists()
+
+
+def test_cli_chunked_survives_corrupt_stage_cache(toy):
+    """A truncated stage-cache file (kill during write, disk hiccup) must
+    trigger a rebuild, not a crash, and still produce correct artifacts."""
+    from pathlib import Path
+
+    from colbwt_tpu.ops import construct_chunked as CC
+    import numpy as np
+
+    tmp, docs, reads = toy
+    a, b = str(tmp / "ok"), str(tmp / "hurt")
+    args = ["-l", "15", str(tmp / "seq1.fa"), str(tmp / "seq2.fa")]
+    assert cli_main(["build", "-o", a, "--sa-mode", "chunked",
+                     "--chunk-chars", "300"] + args) == 0
+    # plant a corrupt cache at the fingerprint the build will compute
+    from colbwt_tpu.pipeline.build import load_documents
+
+    dd = load_documents([str(tmp / "seq1.fa"), str(tmp / "seq2.fa")],
+                        None, False)
+    n_total = sum(len(d) + 1 for d in dd)
+    text = np.empty(n_total, dtype=np.uint8)
+    starts = np.zeros(len(dd) + 1, dtype=np.int64)
+    pos = 0
+    for i, d in enumerate(dd):
+        arr = np.frombuffer(d, dtype=np.uint8)
+        text[pos:pos + arr.size] = arr
+        text[pos + arr.size] = CC.TERMINATOR
+        pos += arr.size + 1
+        starts[i + 1] = pos
+    fp = CC._input_fingerprint(text, starts, True)
+    ck = Path(f"{b}.chunked_cache")
+    ck.mkdir(parents=True, exist_ok=True)
+    (ck / f"rlbwt.{fp}.npz").write_bytes(b"PK\x03\x04 truncated junk")
+    assert cli_main(["build", "-o", b, "--sa-mode", "chunked",
+                     "--chunk-chars", "300"] + args) == 0
+    for ext in ("bwt.heads", "bwt.len", "thr_pos", "col_mums"):
+        assert (tmp / f"ok.fa.{ext}").read_bytes() == \
+            (tmp / f"hurt.fa.{ext}").read_bytes(), ext
