@@ -145,17 +145,26 @@ def bench_tpu(index, reads) -> float:
     enc_j = device_put_chunked(enc)
     lens_j = jnp.asarray(lens)
 
+    import jax
+
+    def force(p):
+        # full execution is forced by an ON-DEVICE reduction (4-byte
+        # download): materializing a 1 MB column would bill link bandwidth
+        # — which swings 50 MB/s to 30 kB/s on this tunneled host — to the
+        # compute-side number this bench records (BASELINE.md)
+        return int(jax.device_get(jnp.sum(p[:, -1])))
+
     t0 = time.perf_counter()
     p, c = query_pos.query_batch_pos(pt["table"], pt["n"], enc_j, lens_j,
                                      k=k, A=pt["A"])
-    _ = np.asarray(p[:, -1]).sum()  # force full execution + transfer wait
+    _ = force(p)
     log(f"[bench] first call (transfer+compile) {time.perf_counter()-t0:.1f}s")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         p, c = query_pos.query_batch_pos(pt["table"], pt["n"], enc_j, lens_j,
                                          k=k, A=pt["A"])
-        _ = int(np.asarray(p[:, -1]).sum())
+        _ = force(p)
         times.append(time.perf_counter() - t0)
     best = min(times)
     rps = len(reads) / best
