@@ -58,6 +58,13 @@ def _query(args: argparse.Namespace) -> int:
     cfg = ColBwtConfig(verbose=args.verbose, engine=args.engine)
     if args.batch_size:
         cfg.batch_size = args.batch_size
+    elif args.stream:
+        # bulk streaming defaults to deeper batches: a same-phase A/B on
+        # the n = 2.3e9 index measured 15,417 vs 8,387 reads/s for
+        # 32768-read vs 8192-read batches (logs/stream_ab_r4.log) —
+        # per-batch link latency amortizes; first-output latency is
+        # irrelevant for a bulk run
+        cfg.batch_size = 32768
     if args.stream:
         if args.text:
             print("Error: --stream writes binary outputs only.",
