@@ -53,7 +53,8 @@ def _query(args: argparse.Namespace) -> int:
     from colbwt_tpu.pipeline import query_pipeline, query_stream
 
     if args.batch_size < 0:
-        print("Error: --batch-size must be >= 1.", file=sys.stderr)
+        print("Error: --batch-size must be >= 0 (0 = config default).",
+              file=sys.stderr)
         return 1
     cfg = ColBwtConfig(verbose=args.verbose, engine=args.engine)
     if args.batch_size:

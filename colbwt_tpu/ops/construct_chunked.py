@@ -104,7 +104,7 @@ def _chunk_suffix_array(text_b: np.ndarray, local_starts: np.ndarray
 
 def build_rlbwt_chunked(text: np.ndarray, doc_starts: np.ndarray,
                         max_chunk_chars: int, with_doc: bool = True,
-                        log=None, cache_dir=None
+                        log=None, cache_dir=None, fingerprint=None
                         ) -> tuple[np.ndarray, np.ndarray,
                                    np.ndarray | None]:
     """(heads, lens[, doc_of]) of the whole collection, chunk by chunk.
@@ -138,14 +138,21 @@ def build_rlbwt_chunked(text: np.ndarray, doc_starts: np.ndarray,
         cache_dir = Path(cache_dir)
         cache_dir.mkdir(parents=True, exist_ok=True)
         state_f = cache_dir / "rlbwt_state.npz"
-        fprint = _input_fingerprint(text, doc_starts, with_doc)
+        # the caller may pass the fingerprint it already computed —
+        # recomputing is a full CRC pass over the multi-gigabase text
+        fprint = (fingerprint if fingerprint is not None
+                  else _input_fingerprint(text, doc_starts, with_doc))
         if state_f.exists():
             z = np.load(state_f)
             ck_fp = int(z["fingerprint"]) if "fingerprint" in z else None
-            if ck_fp is not None and ck_fp != fprint:
+            if ck_fp != fprint:
+                # a missing fingerprint (pre-fingerprint legacy state) is
+                # a mismatch too: a same-shape but different collection
+                # must not silently resume
                 if log:
-                    log("checkpoint fingerprint mismatch (different "
-                        "collection in this cache_dir) — discarding it")
+                    log("checkpoint fingerprint missing or mismatched "
+                        "(different collection in this cache_dir) — "
+                        "discarding it")
                 state_f.unlink()
             elif int(z["max_chunk_chars"]) == max_chunk_chars and \
                     int(z["n_total"]) == int(text.size):

@@ -194,7 +194,8 @@ def _stage_mums_chunked(docs: list[bytes], prefix: str, cfg: ColBwtConfig,
         if heads is None:
             heads, lens, doc_of = CC.build_rlbwt_chunked(
                 text, doc_starts, chunk,
-                log=lambda m: logger.info("[mums] %s", m), cache_dir=ck)
+                log=lambda m: logger.info("[mums] %s", m), cache_dir=ck,
+                fingerprint=fprint)
             tmp = rle_f.with_suffix(".tmp.npz")
             np.savez(tmp, heads=heads, lens=lens, doc_of=doc_of)
             tmp.rename(rle_f)
@@ -412,6 +413,11 @@ def query_pipeline(index_prefix: str, pattern_file: str,
         names.append(rec.name)
         reads.append(rec.seq.upper())
     logger.info("querying %d reads against r=%d index", len(reads), index.r)
+    if len(reads) >= 1_000_000:
+        logger.warning(
+            "%d reads held in host memory by the one-shot query path — "
+            "use --stream for bounded-memory streaming at this scale",
+            len(reads))
 
     total_chars = sum(len(rd) for rd in reads)
     eng = QueryEngines(index, cfg, total_chars,

@@ -231,11 +231,11 @@ class QueryEngines:
             # reads stay under the 2**23 pml guard and cids fit 8 bits)
             p, c = query_mega_wide.query_batch_mega_wide(
                 mt, ej, lj, ff_bound=index.ff_bound,
-                packed_out=self._cid8)
+                packed_out=self._cid8 and padded < (1 << 23))
         elif self.use_mega:
-            p, c = query_mega.query_batch_mega(mt, ej, lj,
-                                               ff_bound=index.ff_bound,
-                                               packed_out=self._cid8)
+            p, c = query_mega.query_batch_mega(
+                mt, ej, lj, ff_bound=index.ff_bound,
+                packed_out=self._cid8 and padded < (1 << 23))
         elif self.use_fused:
             from colbwt_tpu.ops import query_fused
 

@@ -247,3 +247,42 @@ def test_chunked_checkpoint_shape_mismatch_ignored(rng, tmp_path):
     h2, l2, doc2 = CC.build_rlbwt_chunked(text, starts, 300)
     np.testing.assert_array_equal(h1, h2)
     np.testing.assert_array_equal(l1, l2)
+
+
+def test_chunked_legacy_checkpoint_without_fingerprint_discarded(
+        rng, tmp_path):
+    """A pre-fingerprint legacy state file whose shape params match is
+    still discarded: a same-shape but different collection (regenerated
+    SNPs) must not silently resume (round-5 review fix)."""
+    docs = make_collection(rng, 6, lo=100, hi=200)
+    text, starts = concat_with_terminators(docs)
+    # plant junk state with MATCHING n_total/max_chunk_chars, no fingerprint
+    np.savez(tmp_path / "rlbwt_state.npz",
+             heads=np.array([65], np.uint8), lens=np.array([1], np.int64),
+             doc_of=np.array([0], np.uint16), n_a=1, next_ci=1,
+             n_total=int(text.size), max_chunk_chars=300,
+             seen=np.array([1, 65], np.int64))
+    logs = []
+    h1, l1, doc1 = CC.build_rlbwt_chunked(text, starts, 300,
+                                          log=logs.append,
+                                          cache_dir=tmp_path)
+    assert not any("resumed" in m for m in logs)
+    assert any("missing or mismatched" in m for m in logs)
+    h2, l2, doc2 = CC.build_rlbwt_chunked(text, starts, 300)
+    np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(doc1, doc2)
+
+
+def test_chunked_precomputed_fingerprint_passthrough(rng, tmp_path):
+    """Passing the caller's precomputed fingerprint is equivalent to the
+    internal CRC pass (build.py passes it to avoid CRCing the text twice)."""
+    docs = make_collection(rng, 5, lo=80, hi=160)
+    text, starts = concat_with_terminators(docs)
+    fp = CC._input_fingerprint(text, starts, True)
+    h1, l1, d1 = CC.build_rlbwt_chunked(text, starts, 250,
+                                        cache_dir=tmp_path, fingerprint=fp)
+    h2, l2, d2 = CC.build_rlbwt_chunked(text, starts, 250)
+    np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(d1, d2)
