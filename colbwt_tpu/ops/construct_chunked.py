@@ -92,11 +92,11 @@ def _chunk_suffix_array(text_b: np.ndarray, local_starts: np.ndarray
     """Local SA of one chunk: terminators get distinct ascending ranks below
     every real byte (concat_collection semantics, chunk-local)."""
     nd = local_starts.size - 1
-    ranks = text_b.astype(np.int64)
+    ranks = text_b.astype(np.int32)  # chunks always fit the int32 SA lane
     ranks += nd
     sep_idx = local_starts[1:] - 1
-    ranks[sep_idx] = 1 + np.arange(nd, dtype=np.int64)
-    sa = native.suffix_array_sais(ranks)
+    ranks[sep_idx] = 1 + np.arange(nd, dtype=np.int32)
+    sa = native.suffix_array_sais32(ranks)
     del ranks
     gc.collect()
     return sa

@@ -44,6 +44,8 @@
 // SA-derived, LCP == Kasai.
 
 #include <algorithm>
+#include <cstdio>
+#include <cstdlib>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -60,47 +62,92 @@ using std::vector;
 // symbols in byte order, 255 = absent.  `classes` is a 256-entry map.
 
 struct RunIndex {
-    vector<int64_t> cum;   // run starts; cum[r] = n
-    vector<int64_t> occ;   // occ[j*K + (c-1)] = # of class c in BWT[0, cum[j])
+    // Two cache-behavior devices (the backward-extension rank walk is
+    // cache-miss-bound; these cut ~25 scattered probes per query to ~3):
+    //
+    // 1. position-block run sampling: sample[b] = run containing position
+    //    b << shift; run_of binary-searches only the handful of runs in
+    //    one block instead of the full multi-hundred-MB array.  The block
+    //    size adapts to run density (~8 runs per block) so the in-block
+    //    search touches 1-2 cache lines at any n/r ratio.
+    //
+    // 2. array-of-structs run records: rec[j*stride] = (cum[j] << 8) |
+    //    cls[j], followed by the K occ counters of run j — one rank query
+    //    lands on one contiguous record (40 B at K = 4) instead of three
+    //    scattered arrays.  Caps n < 2^55 (far above the 2^40 design
+    //    budget, include/ds/LF_table.hpp:36-39).  A sentinel record at
+    //    j = r carries cum = n and the final totals.
+    int shift = 13;
+    int64_t stride = 0;    // K + 1 int64s per record
+    vector<int64_t> rec;
     vector<int64_t> C;     // C[c] = # suffixes starting with class < c
-    vector<uint8_t> cls;   // dense class per run
+    vector<int64_t> sample;
     int64_t r = 0, n = 0, K = 0;
+
+    inline int64_t cum_of(int64_t j) const {
+        return rec[(size_t)(j * stride)] >> 8;
+    }
+    inline uint8_t cls_of(int64_t j) const {
+        return (uint8_t)(rec[(size_t)(j * stride)] & 0xff);
+    }
+    // occurrences of class c (1..K) in BWT[0, cum_of(j))
+    inline int64_t occ_of(int64_t j, int64_t c) const {
+        return rec[(size_t)(j * stride + c)];
+    }
 
     void build(const uint8_t* heads, const int64_t* lens, int64_t r_,
                const uint8_t* classes, int64_t K_) {
         r = r_;
         K = K_;
-        cum.assign(r + 1, 0);
-        cls.assign(r, 0);
-        occ.assign((size_t)r * K, 0);
+        stride = K + 1;
+        rec.assign((size_t)(r + 1) * stride, 0);
         vector<int64_t> counts(K + 1, 0);
         vector<int64_t> running(K, 0);
+        int64_t cum = 0;
         for (int64_t j = 0; j < r; ++j) {
-            cum[j + 1] = cum[j] + lens[j];
             uint8_t c = classes[heads[j]];
-            cls[j] = c;
-            for (int64_t q = 0; q < K; ++q)
-                occ[(size_t)j * K + q] = running[q];
+            int64_t* rj = rec.data() + (size_t)j * stride;
+            rj[0] = (cum << 8) | c;
+            for (int64_t q = 0; q < K; ++q) rj[1 + q] = running[q];
+            cum += lens[j];
             counts[c] += lens[j];
             if (c >= 1) running[c - 1] += lens[j];
         }
-        n = cum[r];
+        n = cum;
+        int64_t* rr = rec.data() + (size_t)r * stride;
+        rr[0] = (n << 8);  // sentinel: cum_of(r) = n
+        for (int64_t q = 0; q < K; ++q) rr[1 + q] = running[q];
         C.assign(K + 2, 0);
         for (int64_t c = 0; c <= K; ++c) C[c + 1] = C[c] + counts[c];
+        shift = 3;  // target ~8 runs per block
+        while ((int64_t(1) << shift) < (8 * n) / (r > 0 ? r : 1)) ++shift;
+        while ((n >> shift) > (int64_t(1) << 24)) ++shift;  // cap table 128 MB
+        int64_t nb = (n >> shift) + 2;
+        sample.assign(nb, r > 0 ? r - 1 : 0);
+        int64_t b = 0;
+        for (int64_t j = 0; j < r && b < nb; ++j)
+            while (b < nb && (b << shift) < cum_of(j + 1)) sample[b++] = j;
     }
 
-    // run containing position p (0 <= p < n)
+    // run containing position p (0 <= p < n): largest j with cum_of(j) <= p
     inline int64_t run_of(int64_t p) const {
-        return (int64_t)(std::upper_bound(cum.begin(), cum.end(), p)
-                         - cum.begin()) - 1;
+        int64_t lo = sample[p >> shift];
+        int64_t hi = sample[(p >> shift) + 1];
+        while (lo < hi) {
+            int64_t mid = (lo + hi + 1) >> 1;
+            if (cum_of(mid) <= p) lo = mid; else hi = mid - 1;
+        }
+        return lo;
     }
 
     // occurrences of real class c (1..K) in BWT[0, p), 0 <= p <= n
     inline int64_t rank(int64_t c, int64_t p) const {
         if (p <= 0) return 0;
-        int64_t j = run_of(std::min(p, n) - 1);
-        int64_t base = occ[(size_t)j * K + (c - 1)];
-        if (cls[j] == c) base += std::min(p, n) - cum[j];
+        int64_t pp = std::min(p, n) - 1;
+        int64_t j = run_of(pp);
+        const int64_t* rj = rec.data() + (size_t)(j * stride);
+        int64_t base = rj[c];
+        if ((rj[0] & 0xff) == (uint8_t)c) base += pp + 1 - (rj[0] >> 8);
         return base;
     }
 };
@@ -122,17 +169,98 @@ void bwt_merge_ranks(const uint8_t* headsA, const int64_t* lensA, int64_t rA,
     const int64_t nsepA = A.C[1];  // class-0 (terminator) count
     (void)nB;
 
+    // Each document's walk is a dependent chain of ~3 cache misses per
+    // rank query (sample -> in-block probes -> record), so a one-doc-at-
+    // a-time loop is latency-bound.  Walks are independent across
+    // documents: each thread advances up to G of its documents in
+    // lockstep stages with prefetches, keeping G misses in flight —
+    // memory-level parallelism instead of one serialized chain.
 #ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic)
+#pragma omp parallel
 #endif
-    for (int64_t d = 0; d < ndocsB; ++d) {
-        int64_t lo = doc_starts[d], hi = doc_starts[d + 1];
-        int64_t k = nsepA;
-        kpos_out[hi - 1] = k;  // the terminator suffix
-        for (int64_t i = hi - 2; i >= lo; --i) {
-            int64_t c = classes[textB[i]];
-            k = A.C[c] + A.rank(c, k);
-            kpos_out[i] = k;
+    {
+#ifdef _OPENMP
+        const int64_t nth = omp_get_num_threads();
+        const int64_t tid = omp_get_thread_num();
+#else
+        const int64_t nth = 1, tid = 0;
+#endif
+        constexpr int G = 16;
+        int64_t pos[G], stop[G], k[G];          // per-slot walk state
+        int64_t c[G], p[G], lo[G], hi[G];       // per-step scratch
+        bool stepping[G];
+        int active = 0;
+        int64_t next_doc = tid;                 // docs tid, tid+nth, ...
+        auto refill = [&]() {
+            while (active < G && next_doc < ndocsB) {
+                int64_t d = next_doc;
+                next_doc += nth;
+                int64_t dlo = doc_starts[d], dhi = doc_starts[d + 1];
+                kpos_out[dhi - 1] = nsepA;      // the terminator suffix
+                if (dhi - 1 > dlo) {
+                    pos[active] = dhi - 2;
+                    stop[active] = dlo;
+                    k[active] = nsepA;
+                    ++active;
+                }
+            }
+        };
+        refill();
+        while (active > 0) {
+            // stage 1: symbol + sample-block lookups, all slots
+            for (int g = 0; g < active; ++g) {
+                c[g] = classes[textB[pos[g]]];
+                p[g] = k[g] - 1;                // rank position (k <= nA)
+                stepping[g] = p[g] >= 0;        // rank(c, k<=0) == 0
+                if (stepping[g])
+                    __builtin_prefetch(&A.sample[p[g] >> A.shift]);
+            }
+            for (int g = 0; g < active; ++g) {
+                if (!stepping[g]) continue;
+                lo[g] = A.sample[p[g] >> A.shift];
+                hi[g] = A.sample[(p[g] >> A.shift) + 1];
+                int64_t m = lo[g] < hi[g] ? (lo[g] + hi[g] + 1) >> 1 : lo[g];
+                __builtin_prefetch(&A.rec[(size_t)(m * A.stride)]);
+            }
+            // stage 2: lockstep in-block binary probes
+            for (bool any = true; any; ) {
+                any = false;
+                for (int g = 0; g < active; ++g) {
+                    if (!stepping[g] || lo[g] >= hi[g]) continue;
+                    int64_t mid = (lo[g] + hi[g] + 1) >> 1;
+                    if (A.cum_of(mid) <= p[g]) lo[g] = mid;
+                    else hi[g] = mid - 1;
+                    int64_t m = lo[g] < hi[g] ? (lo[g] + hi[g] + 1) >> 1
+                                              : lo[g];
+                    __builtin_prefetch(&A.rec[(size_t)(m * A.stride)]);
+                    any |= lo[g] < hi[g];
+                }
+            }
+            // stage 3: fold the rank into k, store, advance
+            for (int g = 0; g < active; ++g) {
+                int64_t base = 0;
+                if (stepping[g]) {
+                    const int64_t* rj =
+                        A.rec.data() + (size_t)(lo[g] * A.stride);
+                    base = rj[c[g]];
+                    if ((rj[0] & 0xff) == (uint8_t)c[g])
+                        base += p[g] + 1 - (rj[0] >> 8);
+                }
+                k[g] = A.C[c[g]] + base;
+                kpos_out[pos[g]] = k[g];
+                --pos[g];
+            }
+            // retire finished walks, then top the window back up
+            int w = 0;
+            for (int g = 0; g < active; ++g) {
+                if (pos[g] < stop[g]) continue;
+                pos[w] = pos[g];
+                stop[w] = stop[g];
+                k[w] = k[g];
+                ++w;
+            }
+            active = w;
+            refill();
         }
     }
 }
@@ -198,6 +326,8 @@ void lcp_from_rlbwt(const uint8_t* heads, const int64_t* lens, int64_t r,
     A.build(heads, lens, r, classes, K);
     const int64_t n = A.n;
     if (n == 0) return;
+    const bool stats = getenv("COLBWT_LCP_STATS") != nullptr;
+    int64_t st_levels = 0, st_ivs = 0, st_narrow_levels = 0;
     std::fill(lcp_out, lcp_out + n, -1);
     // "boundary n" sentinel: intervals touching the right edge still get
     // pushed exactly once (the published algorithm's LCP[n] slot).
@@ -230,6 +360,13 @@ void lcp_from_rlbwt(const uint8_t* heads, const int64_t* lens, int64_t r,
 
     int64_t depth = 1;
     while (!cur.empty()) {
+        // process each level in lo-order: intervals in a level are
+        // pairwise disjoint, so sorted processing turns the per-interval
+        // run scans and child-boundary writes into a handful of forward
+        // streams over rec/lcp_out instead of random jumps — the BFS is
+        // cache-miss-bound like the rank walk
+        std::sort(cur.begin(), cur.end(),
+                  [](const IV& a, const IV& b) { return a.lo < b.lo; });
         nxt.clear();
         const bool parallel_level = cur.size() >= 256;
 #ifdef _OPENMP
@@ -261,16 +398,15 @@ void lcp_from_rlbwt(const uint8_t* heads, const int64_t* lens, int64_t r,
                 // per-class ranks at lo, then a run scan up to hi
                 int64_t j = A.run_of(lo);
                 for (int64_t c = 1; c <= K; ++c) {
-                    rlo[c] = A.occ[(size_t)j * K + (c - 1)];
+                    rlo[c] = A.occ_of(j, c);
                     rhi[c] = rlo[c];
                 }
-                if (A.cls[j] >= 1) rlo[A.cls[j]] += lo - A.cum[j];
-                while (A.cum[j] < hi) {
-                    if (A.cls[j] >= 1) {
-                        int64_t end = std::min(hi, A.cum[j + 1]);
-                        rhi[A.cls[j]] =
-                            A.occ[(size_t)j * K + (A.cls[j] - 1)]
-                            + (end - A.cum[j]);
+                if (A.cls_of(j) >= 1) rlo[A.cls_of(j)] += lo - A.cum_of(j);
+                while (A.cum_of(j) < hi) {
+                    uint8_t cj = A.cls_of(j);
+                    if (cj >= 1) {
+                        int64_t end = std::min(hi, A.cum_of(j + 1));
+                        rhi[cj] = A.occ_of(j, cj) + (end - A.cum_of(j));
                     }
                     ++j;
                     if (j >= A.r) break;
@@ -311,9 +447,20 @@ void lcp_from_rlbwt(const uint8_t* heads, const int64_t* lens, int64_t r,
         }
         for (auto& v : locals)
             nxt.insert(nxt.end(), v.begin(), v.end());
+        if (stats) {
+            st_levels += 1;
+            st_ivs += (int64_t)cur.size();
+            if (cur.size() < 16) st_narrow_levels += 1;
+        }
         cur.swap(nxt);
         ++depth;
     }
+    if (stats)
+        fprintf(stderr,
+                "[lcp-stats] levels=%lld narrow=%lld intervals=%lld "
+                "max_depth=%lld\n",
+                (long long)st_levels, (long long)st_narrow_levels,
+                (long long)st_ivs, (long long)depth);
 }
 
 }  // extern "C"
