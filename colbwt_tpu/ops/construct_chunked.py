@@ -166,17 +166,15 @@ def build_rlbwt_chunked(text: np.ndarray, doc_starts: np.ndarray,
                 if log:
                     log(f"resumed after chunk {start_ci}/{len(spans)} "
                         f"(n_a = {n_a:,}, r = {heads.size:,})")
-    for ci, (dlo, dhi) in enumerate(spans):
-        if ci < start_ci:
-            continue
-        t0 = time.perf_counter()
+    def _prep(dlo: int, dhi: int):
+        """Chunk-local work with no dependence on the accumulated merge
+        state: slice + SA-IS + BWT/doc extraction.  Runs one chunk ahead
+        on a worker thread (the native SA-IS releases the GIL), so chunk
+        i+1's suffix sort overlaps chunk i's rank merge — the two big
+        per-chunk costs — instead of serializing on one core."""
         lo, hi = int(doc_starts[dlo]), int(doc_starts[dhi])
         text_b = np.ascontiguousarray(text[lo:hi])
-        new = set(np.unique(text_b).tolist()) - seen
-        if new:
-            seen |= new
-            classes, K = symbol_classes(
-                np.array(sorted(seen), dtype=np.uint8))
+        uniq = np.unique(text_b)
         local_starts = (doc_starts[dlo:dhi + 1] - lo).astype(np.int64)
         sa = _chunk_suffix_array(text_b, local_starts)
         bwt_b = text_b[sa - 1]  # sa==0 wraps to the chunk-final terminator
@@ -184,38 +182,61 @@ def build_rlbwt_chunked(text: np.ndarray, doc_starts: np.ndarray,
         if with_doc:
             doc_b = (np.searchsorted(local_starts, sa, side="right") - 1
                      + dlo).astype(np.uint16)
-        if ci == 0:
-            heads, lens = native.rle_encode(bwt_b)
-            doc_of = doc_b
-        else:
-            kpos = native.bwt_merge_ranks(heads, lens, classes, K,
-                                          text_b, local_starts)
-            karr = kpos[sa]
-            del kpos
+        return text_b, local_starts, sa, bwt_b, doc_b, uniq
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = (ex.submit(_prep, *spans[start_ci])
+               if start_ci < len(spans) else None)
+        for ci, (dlo, dhi) in enumerate(spans):
+            if ci < start_ci:
+                continue
+            t0 = time.perf_counter()
+            text_b, local_starts, sa, bwt_b, doc_b, uniq = fut.result()
+            fut = (ex.submit(_prep, *spans[ci + 1])
+                   if ci + 1 < len(spans) else None)
+            new = set(uniq.tolist()) - seen
+            if new:
+                seen |= new
+                classes, K = symbol_classes(
+                    np.array(sorted(seen), dtype=np.uint8))
+            if ci == 0:
+                heads, lens = native.rle_encode(bwt_b)
+                doc_of = doc_b
+            else:
+                kpos = native.bwt_merge_ranks(heads, lens, classes, K,
+                                              text_b, local_starts)
+                karr = kpos[sa]
+                del kpos
+                gc.collect()
+                heads, lens, doc_new = native.bwt_merge_emit(
+                    heads, lens, n_a, bwt_b, karr,
+                    doc_of if with_doc else None, doc_b)
+                if with_doc:
+                    doc_of = doc_new
+                del karr
+            lo, hi = int(doc_starts[dlo]), int(doc_starts[dhi])
+            n_a += hi - lo
+            del sa, bwt_b, text_b, doc_b
             gc.collect()
-            heads, lens, doc_new = native.bwt_merge_emit(
-                heads, lens, n_a, bwt_b, karr,
-                doc_of if with_doc else None, doc_b)
-            if with_doc:
-                doc_of = doc_new
-            del karr
-        n_a += hi - lo
-        del sa, bwt_b, text_b, doc_b
-        gc.collect()
-        if log:
-            log(f"chunk {ci + 1}/{len(spans)} docs [{dlo},{dhi}): "
-                f"n_a = {n_a:,}  r = {heads.size:,}  "
-                f"({time.perf_counter() - t0:.0f}s)")
-        if state_f is not None and ci + 1 < len(spans):
-            tmp = state_f.with_suffix(".tmp.npz")
-            np.savez(tmp, heads=heads, lens=lens,
-                     doc_of=(doc_of if with_doc
-                             else np.empty(0, np.uint16)),
-                     n_a=n_a, next_ci=ci + 1, n_total=int(text.size),
-                     max_chunk_chars=max_chunk_chars,
-                     fingerprint=fprint,
-                     seen=np.array(sorted(seen), dtype=np.int64))
-            tmp.rename(state_f)
+            if log:
+                log(f"chunk {ci + 1}/{len(spans)} docs [{dlo},{dhi}): "
+                    f"n_a = {n_a:,}  r = {heads.size:,}  "
+                    f"({time.perf_counter() - t0:.0f}s)")
+            if state_f is not None and ci + 1 < len(spans):
+                tmp = state_f.with_suffix(".tmp.npz")
+                np.savez(tmp, heads=heads, lens=lens,
+                         doc_of=(doc_of if with_doc
+                                 else np.empty(0, np.uint16)),
+                         n_a=n_a, next_ci=ci + 1, n_total=int(text.size),
+                         max_chunk_chars=max_chunk_chars,
+                         fingerprint=fprint,
+                         seen=np.array(sorted(seen), dtype=np.int64))
+                tmp.rename(state_f)
+    finally:
+        ex.shutdown(wait=True, cancel_futures=True)
     if state_f is not None and state_f.exists():
         state_f.unlink()  # the caller caches the final result itself
     return heads, lens, doc_of

@@ -444,15 +444,21 @@ def compute_thresholds(heads: np.ndarray, lens: np.ndarray, lcp: np.ndarray
 
 
 def compute_thresholds_fast(heads: np.ndarray, lens: np.ndarray,
-                            lcp: np.ndarray) -> np.ndarray:
+                            lcp: np.ndarray,
+                            block: int = 1 << 27) -> np.ndarray:
     """Vectorized host thresholds, same contract as compute_thresholds.
 
-    Segments for one character are disjoint and ascending in rank space, so
-    each per-char batch is a single np.minimum.reduceat over keys packing
+    Segments for one character are disjoint and ascending in rank space,
+    so per-char minima come from np.minimum.reduceat over keys packing
     (lcp, position) — the minimum key is (min lcp, first position of it),
-    exactly np.argmin's tie-break.  O(n·sigma) streaming host work and O(n)
-    extra memory: this is the wide-n (n >= 2**31) lane, where the device
-    version's n-sized HBM arrays don't fit (ops.construct_jax notes)."""
+    exactly np.argmin's tie-break.  The packed keys are materialized ONE
+    position block at a time (per-segment partial minima carried across
+    blocks), so extra memory is O(block + r), not the 8n of a full packed
+    array: the round-4 n = 4.6e9 build spiked to 106 GB RSS in this stage
+    (logs/chunked_4g_r4.log), which extrapolates past host RAM at n ~ 9e9.
+    O(n·sigma) streaming host work; this is the wide-n (n >= 2**31) lane,
+    where the device version's n-sized HBM arrays don't fit
+    (ops.construct_jax notes)."""
     heads = normalize_heads(heads)
     lens = np.asarray(lens, dtype=np.int64)
     r = heads.size
@@ -469,39 +475,55 @@ def compute_thresholds_fast(heads: np.ndarray, lens: np.ndarray,
     cap = (1 << (63 - pos_bits)) - 1  # lcp budget left in the packed key
     lcp_in = np.asarray(lcp)
     clamped = int(lcp_in.max(initial=0)) > cap
-    # pack (lcp << pos_bits) + position chunk by chunk into ONE int64
-    # buffer: peak extra memory is 8n + one chunk, not the 16n of a full
-    # int64 lcp copy plus the packed array (the round-4 n = 4.6e9 build
-    # spiked to 106 GB RSS in this stage — logs/chunked_4g_r4.log)
-    packed = np.empty(n, dtype=np.int64)
-    step = 1 << 28
-    for s in range(0, n, step):
-        e = min(s + step, n)
-        seg = lcp_in[s:e].astype(np.int64)
-        if clamped:
-            np.minimum(seg, cap, out=seg)
-        seg <<= pos_bits
-        seg += np.arange(s, e, dtype=np.int64)
-        packed[s:e] = seg
-        del seg
-    pos_mask = (1 << pos_bits) - 1
 
+    # per-char segment tables: segment s for char c spans ranks
+    # (ends[runs_c[s]], starts[runs_c[s+1]]] inclusive; lo/hi ascending
+    # and pairwise disjoint because runs of one char are ordered
+    segs = []
     for c in np.unique(heads):
         runs_c = np.flatnonzero(heads == c)
         if runs_c.size < 2:
             continue
-        # segment s: ranks (ends[runs_c[s]], starts[runs_c[s+1]]] inclusive
         lo = ends[runs_c[:-1]] + 1
         hi = starts[runs_c[1:]]
-        bounds = np.empty(2 * lo.size, dtype=np.int64)
-        bounds[0::2] = lo
-        bounds[1::2] = hi + 1
-        if bounds[-1] == n:  # reduceat's final slice already runs to the end
-            bounds = bounds[:-1]
-        red = np.minimum.reduceat(packed, bounds)[0::2]
-        arg = red & pos_mask
+        # int64 max: every real packed key (<= (cap << pos_bits) | pos)
+        # replaces it, and a key that ties it is >= cap, so the clamped
+        # re-fix path catches it
+        best = np.full(lo.size, np.iinfo(np.int64).max)
+        segs.append((runs_c, lo, hi, best))
+
+    step = max(1, block)
+    for bs in range(0, n, step):
+        be = min(bs + step, n)
+        blk = lcp_in[bs:be].astype(np.int64)
+        if clamped:
+            np.minimum(blk, cap, out=blk)
+        blk <<= pos_bits
+        blk += np.arange(bs, be, dtype=np.int64)
+        for runs_c, lo, hi, best in segs:
+            i0 = int(np.searchsorted(hi, bs))   # first segment with hi >= bs
+            i1 = int(np.searchsorted(lo, be))   # first segment with lo >= be
+            if i0 >= i1:
+                continue
+            blo = np.maximum(lo[i0:i1], bs) - bs
+            bhi = np.minimum(hi[i0:i1] + 1, be) - bs
+            bounds = np.empty(2 * (i1 - i0), dtype=np.int64)
+            bounds[0::2] = blo
+            bounds[1::2] = bhi
+            # only the last clipped segment can end at the block edge
+            # (segments are disjoint), and reduceat's final slice already
+            # runs to the end
+            if bounds[-1] == be - bs:
+                bounds = bounds[:-1]
+            red = np.minimum.reduceat(blk, bounds)[0::2]
+            np.minimum(best[i0:i1], red, out=best[i0:i1])
+        del blk
+
+    pos_mask = (1 << pos_bits) - 1
+    for runs_c, lo, hi, best in segs:
+        arg = best & pos_mask
         if clamped:  # exact re-fix where clamping could hide the true argmin
-            sus = np.flatnonzero((red >> pos_bits) >= cap)
+            sus = np.flatnonzero((best >> pos_bits) >= cap)
             for s in sus:
                 seg = lcp_in[lo[s]:hi[s] + 1]
                 arg[s] = lo[s] + int(np.argmin(seg))

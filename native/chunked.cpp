@@ -360,13 +360,6 @@ void lcp_from_rlbwt(const uint8_t* heads, const int64_t* lens, int64_t r,
 
     int64_t depth = 1;
     while (!cur.empty()) {
-        // process each level in lo-order: intervals in a level are
-        // pairwise disjoint, so sorted processing turns the per-interval
-        // run scans and child-boundary writes into a handful of forward
-        // streams over rec/lcp_out instead of random jumps — the BFS is
-        // cache-miss-bound like the rank walk
-        std::sort(cur.begin(), cur.end(),
-                  [](const IV& a, const IV& b) { return a.lo < b.lo; });
         nxt.clear();
         const bool parallel_level = cur.size() >= 256;
 #ifdef _OPENMP
@@ -388,61 +381,131 @@ void lcp_from_rlbwt(const uint8_t* heads, const int64_t* lens, int64_t r,
             int tid = 0;
 #endif
             vector<IV>& out = locals[tid];
-            vector<int64_t> rlo(K + 1), rhi(K + 1);
+            // Per-interval work is a dependent chain of ~4 cache misses
+            // (run_of probes -> run scan -> boundary write) over arrays
+            // far larger than cache, and levels are narrow (a few hundred
+            // intervals), so one-at-a-time processing is latency-bound —
+            // the same failure mode as the rank walk.  Process intervals
+            // in windows of G: every stage advances all G chains one miss
+            // with prefetches, keeping G misses in flight.
+            constexpr int G = 16;
+            int64_t L[G], H[G], slo[G], shi[G], jj[G];
+            bool tm[G];
+            vector<int64_t> rl((size_t)(K + 1) * G), rh((size_t)(K + 1) * G);
+            const size_t m = cur.size();
+            const size_t nblk = (m + 63) / 64;
 #ifdef _OPENMP
-#pragma omp for schedule(dynamic, 64)
+#pragma omp for schedule(dynamic)
 #endif
-            for (size_t q = 0; q < cur.size(); ++q) {
-                const int64_t lo = cur[q].lo, hi = cur[q].hi;
-                const bool term = cur[q].term;
-                // per-class ranks at lo, then a run scan up to hi
-                int64_t j = A.run_of(lo);
-                for (int64_t c = 1; c <= K; ++c) {
-                    rlo[c] = A.occ_of(j, c);
-                    rhi[c] = rlo[c];
+            for (size_t blk = 0; blk < nblk; ++blk) {
+              const size_t qe = std::min(m, blk * 64 + 64);
+              for (size_t w0 = blk * 64; w0 < qe; w0 += G) {
+                const int W = (int)std::min((size_t)G, qe - w0);
+                // stage A: sampled run_of(lo), all windows interleaved
+                for (int w = 0; w < W; ++w) {
+                    L[w] = cur[w0 + w].lo;
+                    H[w] = cur[w0 + w].hi;
+                    tm[w] = cur[w0 + w].term;
+                    __builtin_prefetch(&A.sample[L[w] >> A.shift]);
                 }
-                if (A.cls_of(j) >= 1) rlo[A.cls_of(j)] += lo - A.cum_of(j);
-                while (A.cum_of(j) < hi) {
-                    uint8_t cj = A.cls_of(j);
-                    if (cj >= 1) {
-                        int64_t end = std::min(hi, A.cum_of(j + 1));
-                        rhi[cj] = A.occ_of(j, cj) + (end - A.cum_of(j));
+                for (int w = 0; w < W; ++w) {
+                    slo[w] = A.sample[L[w] >> A.shift];
+                    shi[w] = A.sample[(L[w] >> A.shift) + 1];
+                    int64_t mid = slo[w] < shi[w]
+                        ? (slo[w] + shi[w] + 1) >> 1 : slo[w];
+                    __builtin_prefetch(&A.rec[(size_t)(mid * A.stride)]);
+                }
+                for (bool any = true; any; ) {
+                    any = false;
+                    for (int w = 0; w < W; ++w) {
+                        if (slo[w] >= shi[w]) continue;
+                        int64_t mid = (slo[w] + shi[w] + 1) >> 1;
+                        if (A.cum_of(mid) <= L[w]) slo[w] = mid;
+                        else shi[w] = mid - 1;
+                        int64_t nx = slo[w] < shi[w]
+                            ? (slo[w] + shi[w] + 1) >> 1 : slo[w];
+                        __builtin_prefetch(&A.rec[(size_t)(nx * A.stride)]);
+                        any |= slo[w] < shi[w];
                     }
-                    ++j;
-                    if (j >= A.r) break;
                 }
-                // left-extend by real symbols only: a terminator prepended
-                // to a nonempty string can never be a common prefix (each
-                // terminator occurs once) — the root already emitted the
-                // terminator block.
-                for (int64_t c = 1; c <= K; ++c) {
-                    if (rhi[c] <= rlo[c]) continue;
-                    int64_t clo = A.C[c] + rlo[c];
-                    int64_t chi = A.C[c] + rhi[c];
-                    bool any = false;
-                    if (term) {
-                        for (int64_t p = clo + 1; p < chi; ++p)
-                            if (lcp_out[p] < 0) {
-                                lcp_out[p] = (int32_t)depth;
+                // stage B: per-class ranks at lo, then lockstep run scans
+                for (int w = 0; w < W; ++w) {
+                    jj[w] = slo[w];
+                    const int64_t* rj =
+                        A.rec.data() + (size_t)(jj[w] * A.stride);
+                    int64_t* rlw = rl.data() + (size_t)w * (K + 1);
+                    int64_t* rhw = rh.data() + (size_t)w * (K + 1);
+                    for (int64_t c = 1; c <= K; ++c)
+                        rlw[c] = rhw[c] = rj[c];
+                    uint8_t cj = (uint8_t)(rj[0] & 0xff);
+                    if (cj >= 1) rlw[cj] += L[w] - (rj[0] >> 8);
+                }
+                for (bool any = true; any; ) {
+                    any = false;
+                    for (int w = 0; w < W; ++w) {
+                        if (jj[w] >= A.r || A.cum_of(jj[w]) >= H[w])
+                            continue;
+                        const int64_t* rj =
+                            A.rec.data() + (size_t)(jj[w] * A.stride);
+                        uint8_t cj = (uint8_t)(rj[0] & 0xff);
+                        if (cj >= 1) {
+                            int64_t end =
+                                std::min(H[w], A.cum_of(jj[w] + 1));
+                            rh[(size_t)w * (K + 1) + cj] =
+                                rj[cj] + (end - (rj[0] >> 8));
+                        }
+                        ++jj[w];
+                        __builtin_prefetch(
+                            &A.rec[(size_t)(jj[w] * A.stride)]);
+                        any |= jj[w] < A.r && A.cum_of(jj[w]) < H[w];
+                    }
+                }
+                // stage C: child boundaries — prefetch the write targets,
+                // then set/push.  Left-extend by real symbols only: a
+                // terminator prepended to a nonempty string can never be
+                // a common prefix (each terminator occurs once) — the
+                // root already emitted the terminator block.
+                for (int w = 0; w < W; ++w)
+                    for (int64_t c = 1; c <= K; ++c) {
+                        int64_t rhv = rh[(size_t)w * (K + 1) + c];
+                        if (rhv > rl[(size_t)w * (K + 1) + c] &&
+                            A.C[c] + rhv < n)
+                            __builtin_prefetch(&lcp_out[A.C[c] + rhv]);
+                    }
+                for (int w = 0; w < W; ++w) {
+                    const int64_t* rlw = rl.data() + (size_t)w * (K + 1);
+                    const int64_t* rhw = rh.data() + (size_t)w * (K + 1);
+                    for (int64_t c = 1; c <= K; ++c) {
+                        if (rhw[c] <= rlw[c]) continue;
+                        int64_t clo = A.C[c] + rlw[c];
+                        int64_t chi = A.C[c] + rhw[c];
+                        bool any = false;
+                        if (tm[w]) {
+                            for (int64_t p = clo + 1; p < chi; ++p)
+                                if (lcp_out[p] < 0) {
+                                    lcp_out[p] = (int32_t)depth;
+                                    any = true;
+                                }
+                        }
+                        if (chi < n) {
+                            if (lcp_out[chi] < 0) {
+                                lcp_out[chi] = (int32_t)depth;
                                 any = true;
                             }
-                    }
-                    if (chi < n) {
-                        if (lcp_out[chi] < 0) {
-                            lcp_out[chi] = (int32_t)depth;
+                        } else {
+                            if (end_slot < 0) end_slot = (int32_t)depth;
+                            // right-edge intervals (prefixes of the
+                            // largest suffix — exactly one per level) and
+                            // terminator groups always extend: their
+                            // descendants' sets are unreachable any other
+                            // way, and the extra work is bounded by
+                            // |largest suffix| resp. n.
                             any = true;
                         }
-                    } else {
-                        if (end_slot < 0) end_slot = (int32_t)depth;
-                        // right-edge intervals (prefixes of the largest
-                        // suffix — exactly one per level) and terminator
-                        // groups always extend: their descendants' sets
-                        // are unreachable any other way, and the extra
-                        // work is bounded by |largest suffix| resp. n.
-                        any = true;
+                        if (any || tm[w]) out.push_back({clo, chi, tm[w]});
                     }
-                    if (any || term) out.push_back({clo, chi, term});
                 }
+              }
             }
         }
         for (auto& v : locals)

@@ -292,3 +292,22 @@ def test_chunked_scan_planted_cores(rng):
     np.testing.assert_array_equal(pc, po)
     np.testing.assert_array_equal(lc, lo)
     assert sorted(lc.tolist()) == [25, 40]
+
+
+def test_thresholds_fast_streamed_blocks():
+    """The block-streamed thresholds (O(block + r) memory) match the
+    oracle for every block size, including 1-position blocks that force a
+    partial-minimum merge across every boundary — and the clamped lane."""
+    rng = np.random.default_rng(77)
+    for trial in range(40):
+        r = int(rng.integers(2, 30))
+        heads = rng.integers(2, 6, r).astype(np.uint8)
+        lens = rng.integers(1, 7, r).astype(np.int64)
+        n = int(lens.sum())
+        hi = 2**61 if trial % 4 == 0 else 32
+        lcp = rng.integers(0, hi, n).astype(np.int64)
+        want = O.compute_thresholds(heads, lens, lcp)
+        for block in (1, 2, 7, n // 2 + 1, 1 << 27):
+            got = O.compute_thresholds_fast(heads, lens, lcp, block=block)
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"trial {trial} blk {block}")
