@@ -52,54 +52,98 @@ def read_fasta(path: str | Path) -> Iterator[FastaRecord]:
         except Exception:
             pass  # fall through to the Python reader
     with _open(path) as fh:
-        name: str | None = None
-        chunks: list[bytes] = []
-        fastq = False
-        line_iter = iter(fh)
-        for line in line_iter:
-            line = line.rstrip()
-            if not line:
-                continue
-            if line.startswith(b">") or line.startswith(b"@"):
-                if name is not None:
-                    yield FastaRecord(name, b"".join(chunks))
-                fastq = line.startswith(b"@")
-                name = line[1:].split()[0].decode() if len(line) > 1 else ""
-                chunks = []
-            elif line.startswith(b"+") and fastq:
-                # quality header: skip quality lines until next record length
-                seq_len = sum(len(c) for c in chunks)
-                qual_len = 0
-                for qline in line_iter:
-                    qual_len += len(qline.rstrip())
-                    if qual_len >= seq_len:
-                        break
-                yield FastaRecord(name or "", b"".join(chunks))
-                name = None
-                chunks = []
+        yield from _parse_lines(fh)
+
+
+def _parse_lines(fh) -> Iterator[FastaRecord]:
+    """Line-by-line FASTA/FASTQ parser over a binary file object (the
+    portable fallback; also parses the final partial slab of the native
+    streamer, where a record may legitimately lack its trailing newline)."""
+    name: str | None = None
+    chunks: list[bytes] = []
+    fastq = False
+    line_iter = iter(fh)
+    for line in line_iter:
+        line = line.rstrip()
+        if not line:
+            continue
+        if line.startswith(b">") or line.startswith(b"@"):
+            if name is not None:
+                yield FastaRecord(name, b"".join(chunks))
+            fastq = line.startswith(b"@")
+            name = line[1:].split()[0].decode() if len(line) > 1 else ""
+            chunks = []
+        elif line.startswith(b"+") and fastq:
+            # quality header: skip quality lines until next record length
+            seq_len = sum(len(c) for c in chunks)
+            qual_len = 0
+            for qline in line_iter:
+                qual_len += len(qline.rstrip())
+                if qual_len >= seq_len:
+                    break
+            yield FastaRecord(name or "", b"".join(chunks))
+            name = None
+            chunks = []
+        else:
+            chunks.append(line)
+    if name is not None:
+        yield FastaRecord(name, b"".join(chunks))
+
+
+def _inflate_slabs(fh, chunk_bytes: int) -> Iterator[bytes]:
+    """Raw or gzip-member-aware slab reader: yields decompressed slabs.
+    Multi-member gzip (bgzip output) is handled by restarting the
+    decompressor on each member boundary.  Inflate runs in zlib's C code;
+    the Python layer only shuttles ~chunk-sized buffers."""
+    import zlib
+
+    head = fh.peek(2)[:2] if hasattr(fh, "peek") else b""
+    if head != b"\x1f\x8b":
+        while True:
+            slab = fh.read(chunk_bytes)
+            if not slab:
+                return
+            yield slab
+        return
+    decomp = zlib.decompressobj(wbits=31)
+    while True:
+        raw = fh.read(chunk_bytes)
+        if not raw:
+            tail = decomp.flush()
+            if tail:
+                yield tail
+            return
+        parts = []
+        chunk = raw
+        while chunk:
+            parts.append(decomp.decompress(chunk))
+            if decomp.eof:
+                chunk = decomp.unused_data
+                decomp = zlib.decompressobj(wbits=31)
             else:
-                chunks.append(line)
-        if name is not None:
-            yield FastaRecord(name, b"".join(chunks))
+                chunk = b""
+        data = b"".join(parts)
+        if data:
+            yield data
 
 
 def stream_fasta(path: str | Path, chunk_bytes: int = 32 << 20
                  ) -> Iterator[FastaRecord]:
-    """Bounded-memory FASTA streaming: parse the file in ~chunk_bytes slabs
-    (native C++ parser per slab when built), never holding more than one slab
-    of input.  Functionally identical to read_fasta; this is the reader for
-    100M-read query streams, where read_fasta's native path would load the
-    whole pattern file (SURVEY §2.2: klib/kseq streams — so do we)."""
+    """Bounded-memory FASTA/FASTQ streaming, gzip included: the file is
+    read in ~chunk_bytes slabs (gzip members inflate through zlib's C
+    path), each slab parses through the native C++ record scanner, and the
+    held-back partial record carries into the next slab.  Functionally
+    identical to read_fasta; this is the reader for 100M-read query
+    streams (SURVEY §2.2: klib/kseq streams — so do we).  FASTQ carry uses
+    the scanner's consumed-bytes contract, because '@' is a legal quality
+    character and a byte-level boundary search is unsound."""
     p = Path(path)
-    use_native = False
-    if p.suffix not in (".gz", ".fastq", ".fq") and p.exists():
-        try:
-            from colbwt_tpu.io import native
+    try:
+        from colbwt_tpu.io import native
 
-            use_native = (native.available()
-                          and p.open("rb").read(1) == b">")
-        except Exception:
-            use_native = False
+        use_native = native.available()
+    except Exception:
+        use_native = False
     if not use_native:
         yield from read_fasta(path)
         return
@@ -107,26 +151,33 @@ def stream_fasta(path: str | Path, chunk_bytes: int = 32 << 20
 
     with p.open("rb") as fh:
         carry = b""
+        fmt = b""
+        slabs = _inflate_slabs(fh, chunk_bytes)
         while True:
-            slab = fh.read(chunk_bytes)
+            slab = next(slabs, None)
+            if slab is None:
+                break
             data = carry + slab
-            if not data:
-                return
-            if slab:
-                # hold back the trailing partial record ('>' starts one only
-                # at the beginning of a line)
+            if not fmt:
+                fmt = data[:1]
+            if fmt == b">":
+                # '>' starts a record only at the beginning of a line
                 cut = data.rfind(b"\n>")
                 if cut < 0:
                     carry = data
                     continue
                 carry = data[cut + 1:]
-                data = data[:cut + 1]
+                for name, seq in native.parse_fasta_bytes(data[:cut + 1]):
+                    yield FastaRecord(name, seq)
+            elif fmt == b"@":
+                recs, consumed = native.parse_fastq_bytes(data)
+                carry = data[consumed:]
+                for name, seq in recs:
+                    yield FastaRecord(name, seq)
             else:
-                carry = b""
-            for name, seq in native.parse_fasta_bytes(data):
-                yield FastaRecord(name, seq)
-            if not slab:
-                return
+                carry = data  # unknown leader: let the fallback decide
+        if carry:
+            yield from _parse_lines(io.BytesIO(carry))
 
 
 def write_fasta(path: str | Path, records: list[FastaRecord], width: int = 60) -> None:

@@ -53,6 +53,9 @@ def _load() -> ctypes.CDLL | None:
     lib.fasta_count.argtypes = [u8p, ctypes.c_int64]
     lib.fasta_parse.restype = ctypes.c_int64
     lib.fasta_parse.argtypes = [u8p, ctypes.c_int64, u8p, i64p, i64p, i64p, i64p]
+    lib.fastq_scan.restype = ctypes.c_int64
+    lib.fastq_scan.argtypes = [u8p, ctypes.c_int64, i64p, ctypes.c_int32,
+                               u8p, i64p, i64p, i64p, i64p]
     lib.suffix_array_sais.restype = None
     lib.suffix_array_sais.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p]
     lib.suffix_array_sais32.restype = None
@@ -156,6 +159,41 @@ def parse_fasta_bytes(data: bytes):
         seq = sq[seq_off[i]:seq_off[i] + seq_len[i]]
         out.append((name, seq))
     return out
+
+
+def parse_fastq_bytes(data: bytes) -> tuple[list, int]:
+    """Native FASTQ slab scan → ([(name, seq bytes)...], consumed_bytes).
+
+    Only complete records are returned; `consumed` is the offset past the
+    last complete record, so a slab streamer carries the partial tail
+    (kseq role, reference include/common/io.hpp:6-35 — a byte-level
+    boundary search is unsound for FASTQ: '@' is a legal quality char)."""
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    consumed = ctypes.c_int64(0)
+    count = lib.fastq_scan(_p(buf, ctypes.c_uint8), buf.size,
+                           ctypes.byref(consumed), 0,
+                           None, None, None, None, None)
+    if count == 0:
+        return [], int(consumed.value)
+    seq_out = np.empty(buf.size, dtype=np.uint8)
+    name_off = np.empty(count, dtype=np.int64)
+    name_len = np.empty(count, dtype=np.int64)
+    seq_off = np.empty(count, dtype=np.int64)
+    seq_len = np.empty(count, dtype=np.int64)
+    lib.fastq_scan(_p(buf, ctypes.c_uint8), buf.size,
+                   ctypes.byref(consumed), 1,
+                   _p(seq_out, ctypes.c_uint8),
+                   _p(name_off, ctypes.c_int64), _p(name_len, ctypes.c_int64),
+                   _p(seq_off, ctypes.c_int64), _p(seq_len, ctypes.c_int64))
+    raw = buf.tobytes()
+    sq = seq_out.tobytes()
+    out = []
+    for i in range(count):
+        name = raw[name_off[i]:name_off[i] + name_len[i]].decode()
+        out.append((name, sq[seq_off[i]:seq_off[i] + seq_len[i]]))
+    return out, int(consumed.value)
 
 
 def suffix_array_sais(ranks: np.ndarray) -> np.ndarray:

@@ -182,7 +182,79 @@ void lcp_kasai(const int64_t* ranks, const int64_t* sa, int64_t n,
     delete[] inv;
 }
 
+// FASTQ slab scanning (the kseq role for FASTQ, reference
+// include/common/io.hpp:6-35).  Records are '@name / sequence lines / +
+// separator / quality bytes totaling the sequence length'.  Only COMPLETE
+// records are reported; *consumed is the offset just past the last
+// complete record, so slab streaming can carry the partial tail — a
+// byte-level boundary search is unsound for FASTQ because '@' is a legal
+// quality character.  With fill == 0 this is the counting pass (output
+// pointers may be null); both passes compute identical *consumed.
+int64_t fastq_scan(const uint8_t* data, int64_t size, int64_t* consumed,
+                   int32_t fill, uint8_t* seq_out,
+                   int64_t* name_off, int64_t* name_len,
+                   int64_t* seq_off, int64_t* seq_len) {
+    int64_t count = 0;
+    *consumed = 0;
+    int64_t i = 0, out = 0;
+    while (i < size) {
+        while (i < size && (data[i] == '\n' || data[i] == '\r')) ++i;
+        if (i >= size) break;
+        if (data[i] != '@') {  // stray line: skip it (lenient, like kseq)
+            while (i < size && data[i] != '\n') ++i;
+            continue;
+        }
+        ++i;
+        int64_t noff = i;
+        while (i < size && data[i] != '\n' && data[i] != ' '
+               && data[i] != '\t' && data[i] != '\r') ++i;
+        int64_t nlen = i - noff;
+        while (i < size && data[i] != '\n') ++i;  // rest of header
+        if (i >= size) break;                      // header cut by slab end
+        ++i;
+        // sequence lines until the '+' separator line
+        int64_t slen = 0;
+        int64_t sout = out;
+        bool plus = false, cut = false;
+        while (i < size) {
+            if (data[i] == '+') {
+                plus = true;
+                while (i < size && data[i] != '\n') ++i;
+                if (i >= size) cut = true; else ++i;
+                break;
+            }
+            int64_t ls = i;
+            while (i < size && data[i] != '\n') ++i;
+            if (i >= size) { cut = true; break; }  // line cut by slab end
+            int64_t len = i - ls;
+            if (len > 0 && data[ls + len - 1] == '\r') --len;
+            if (fill && len > 0) memcpy(seq_out + out, data + ls, len);
+            out += len;
+            slen += len;
+            ++i;
+        }
+        if (!plus || cut) break;
+        // quality: non-newline bytes until the sequence length is covered
+        int64_t q = 0;
+        while (i < size && q < slen) {
+            if (data[i] != '\n' && data[i] != '\r') ++q;
+            ++i;
+        }
+        if (q < slen) break;  // quality cut by slab end
+        if (fill) {
+            name_off[count] = noff;
+            name_len[count] = nlen;
+            seq_off[count] = sout;
+            seq_len[count] = slen;
+        }
+        ++count;
+        *consumed = i;
+    }
+    return count;
+}
+
 }  // extern "C"
+
 
 extern "C" {
 
