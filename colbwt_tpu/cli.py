@@ -38,7 +38,8 @@ def _build(args: argparse.Namespace) -> int:
         mode=SplitMode(args.mode), split_rate=args.sub_sample,
         min_mum=args.min_mum, rev_comp=args.rev_comp, verbose=args.verbose,
         force=args.force, keep_temp=args.keep,
-        sa_mode=args.sa_mode, chunk_chars=args.chunk_chars)
+        sa_mode=args.sa_mode, chunk_chars=args.chunk_chars,
+        prewarm=not args.no_prewarm)
     build_pipeline(args.fastas, args.output, cfg, filelist=args.input)
     if args.clean:
         fa = f"{args.output}.fa"
@@ -116,6 +117,10 @@ def main(argv: list[str] | None = None) -> int:
                         "the RLBWT by per-chunk SA-IS + rank merge (no "
                         "global SA; the reference's PFP scale role), "
                         "'auto' switches when n exceeds the host SA budget")
+    b.add_argument("--no-prewarm", action="store_true",
+                   help="skip the build-exit query-path prewarm (table "
+                        "build/persist + XLA program compile into the "
+                        "persistent cache)")
     b.add_argument("--chunk-chars", type=int, default=0,
                    help="chunk size (characters) for --sa-mode chunked; "
                         "0 = auto (half the monolithic SA RAM budget)")

@@ -23,6 +23,7 @@ Stage map (reference stage → ours):
 
 from __future__ import annotations
 
+import time
 from pathlib import Path
 
 import numpy as np
@@ -367,6 +368,59 @@ def stage_index(prefix: str, cfg: ColBwtConfig, logger):
         raise
 
 
+def stage_prewarm(prefix: str, cfg: ColBwtConfig, logger) -> None:
+    """Make the shipped index query-ready at build exit (the reference's
+    Movi index is, scripts/col-bwt.py:176-189): instantiate the chosen
+    engine — building and, per the cache policy, persisting its device
+    tables — and compile its hot query program shapes into the persistent
+    XLA cache.  A fresh process's first real query then pays a cache load
+    instead of a cold tunnel compile (measured 150-160 s on config #2,
+    logs/config2_r4.log).  Disable with --no-prewarm."""
+    from colbwt_tpu.models.index import ColPmlIndex
+    from colbwt_tpu.pipeline.engines import QueryEngines
+
+    t0 = time.perf_counter()
+    index = ColPmlIndex.load(f"{prefix}.colpml.npz")
+    eng = QueryEngines(index, cfg, total_chars=None,
+                       table_dir=f"{prefix}.tables")
+    for ev in eng.cache_events:
+        logger.info("[prewarm] table cache: %s", ev)
+    alph = index.alphabet[index.alphabet > 1]
+    byte = int(alph[0]) if alph.size else 0x41
+    # the two batch shapes real queries hit: the one-shot default and the
+    # streaming default (cli.py); padded 256 is the 150 bp read bucket
+    for bs in sorted({cfg.batch_size, 32768}):
+        t1 = time.perf_counter()
+        dummy = [bytes([byte]) * 150] * bs
+        p, c, _, _ = eng.dispatch(dummy, 256)
+        p.block_until_ready()  # compile + execute; results stay on device
+        if c is not None:
+            c.block_until_ready()
+        del p, c
+        logger.info("[prewarm] query program B=%d compiled+cached in %.1fs",
+                    bs, time.perf_counter() - t1)
+    if eng.name != "xla" and index.r < (1 << 24):
+        # small one-shot workloads select the compact xla engine instead
+        # (QueryEngines weighs table cost against workload size) — compile
+        # that program too so either first query hits the cache.  Skipped
+        # for huge indexes, where the warm-up transfer would dominate.
+        import dataclasses
+
+        t1 = time.perf_counter()
+        eng2 = QueryEngines(index, dataclasses.replace(cfg, engine="xla"),
+                            total_chars=None, table_dir=None)
+        p, c, _, _ = eng2.dispatch([bytes([byte]) * 150] * cfg.batch_size,
+                                   256)
+        p.block_until_ready()
+        if c is not None:
+            c.block_until_ready()
+        del p, c, eng2
+        logger.info("[prewarm] xla program B=%d compiled+cached in %.1fs",
+                    cfg.batch_size, time.perf_counter() - t1)
+    logger.info("[prewarm] engine %s ready in %.1fs", eng.name,
+                time.perf_counter() - t0)
+
+
 def build_pipeline(fastas: list[str], output: str,
                    cfg: ColBwtConfig | None = None,
                    filelist: str | None = None) -> ColPmlIndex:
@@ -384,6 +438,8 @@ def build_pipeline(fastas: list[str], output: str,
     stage_bwt(output, cfg, logger)
     stage_colsplit(output, cfg, logger)
     stage_index(output, cfg, logger)
+    if cfg.prewarm:
+        stage_prewarm(output, cfg, logger)
 
     if not cfg.keep_temp:
         fa = f"{output}.fa"

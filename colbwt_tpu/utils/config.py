@@ -41,6 +41,12 @@ class ColBwtConfig:
     keep_temp: bool = False       # --keep
     force: bool = False           # --force
     verbose: bool = False         # -v
+    prewarm: bool = False         # build exit compiles + caches the query
+                                  # path so a fresh process's first query
+                                  # skips the cold tunnel compile.  The
+                                  # CLI turns this ON (--no-prewarm to
+                                  # disable); library/test builds default
+                                  # off
 
     # --- format budget (include/common/common.hpp:46-54) ---
     rw_bytes: int = 5             # RW_BYTES: on-disk width of n-scale ints
