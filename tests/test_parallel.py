@@ -204,3 +204,38 @@ def test_shard_mega_wide_slice_placement_matches_host_table(wide_setup):
         st_host = shard_mega_wide(index, mesh, mega_host=host)
         np.testing.assert_array_equal(np.asarray(st_cb["mega"]),
                                       np.asarray(st_host["mega"]))
+
+
+def test_host_lean_wide_slices_cross_char_blocks():
+    """The host-lean per-slice assembly (shard_mega_wide's default path,
+    O(table/ip) host peak) must equal the prebuilt full table even when
+    every device's slice spans multiple char blocks of the (sigma+1)*r
+    row space — the placement real pangenome-scale tables hit (VERDICT r4
+    weak #6: prior tests only sharded toy-r indexes)."""
+    from colbwt_tpu.ops import query_mega_wide as QW
+    from colbwt_tpu.parallel.query_sharded_mega_wide import (
+        query_batch_sharded_mega_wide, shard_mega_wide)
+
+    rng = np.random.default_rng(0xD15C)
+    # a single random document: dense runs, r in the tens of thousands
+    doc = rng.choice(np.frombuffer(b"ACGT", np.uint8), 30_000).tobytes()
+    tbl, _ = build_index([doc, doc[:17_000] + doc[19_000:]])
+    index = ColPmlIndex.build(tbl, ff_bound=2, wide=True)
+    assert index.wide and index.r > 20_000
+    ip = 4
+    mesh = make_mesh(2, ip)
+    rows = (index.sigma + 1) * index.r
+    assert rows // ip > index.r  # each slice crosses >= 1 char-block edge
+
+    st = shard_mega_wide(index, mesh)  # host-lean assembly
+    full = QW.build_mega_rows_wide_host(index)  # the oracle table
+    got = np.asarray(st["mega"])
+    np.testing.assert_array_equal(got[:rows], full)
+    assert not got[rows:].any()  # ip padding rows stay zero
+
+    reads = [doc[int(rng.integers(0, 29_000)):][:60] for _ in range(16)]
+    p, c = query_batch_sharded_mega_wide(index, reads, mesh=mesh)
+    for j, rd in enumerate(reads):
+        p_ref, c_ref = O.query_pml_oracle(tbl, rd)
+        np.testing.assert_array_equal(p[j], p_ref, err_msg=f"read {j}")
+        np.testing.assert_array_equal(c[j], c_ref, err_msg=f"read {j}")
