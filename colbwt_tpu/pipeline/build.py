@@ -225,7 +225,7 @@ def _stage_mums_chunked(docs: list[bytes], prefix: str, cfg: ColBwtConfig,
 
             rc = CC.run_change_from_runs(heads, lens)
             ml, mp = CJ.find_multi_mums_chunked(
-                lcp32, doc_of.astype(np.int32), rc, len(docs), cfg.min_mum,
+                lcp32, doc_of, rc, len(docs), cfg.min_mum,
                 log=lambda m: logger.info("[mums] %s", m))
             del rc
         else:

@@ -136,7 +136,7 @@ def main():
             t0 = time.perf_counter()
             rc = CC.run_change_from_runs(heads, lens)
             ml, mp = CJ.find_multi_mums_chunked(
-                lcp32, doc_of.astype(np.int32), rc, N, 100)
+                lcp32, doc_of, rc, N, 100)
             t_mum = time.perf_counter() - t0
             log(f"MUM scan     {ns(t_mum)}  ({ml.size} MUMs)")
     log(f"grand total  {time.perf_counter() - t_stage:.1f}s")

@@ -139,7 +139,7 @@ def main():
         t = time.perf_counter()
         rc = CC.run_change_from_runs(heads, lens)
         ml, mp = CJ.find_multi_mums_chunked(
-            lcp32, doc_of.astype(np.int32), rc, N, args.min_mum, log=log)
+            lcp32, doc_of, rc, N, args.min_mum, log=log)
         del rc
         gc.collect()
         np.savez(mums_f, ml=ml, mp=mp)
