@@ -151,13 +151,11 @@ def parse_fasta_bytes(data: bytes):
                     _p(seq_out, ctypes.c_uint8),
                     _p(name_off, ctypes.c_int64), _p(name_len, ctypes.c_int64),
                     _p(seq_off, ctypes.c_int64), _p(seq_len, ctypes.c_int64))
-    out = []
     raw = buf.tobytes()
     sq = seq_out.tobytes()
-    for i in range(count):
-        name = raw[name_off[i]:name_off[i] + name_len[i]].decode()
-        seq = sq[seq_off[i]:seq_off[i] + seq_len[i]]
-        out.append((name, seq))
+    out = [(raw[a:a + b].decode(), sq[c:c + d])
+           for a, b, c, d in zip(name_off.tolist(), name_len.tolist(),
+                                 seq_off.tolist(), seq_len.tolist())]
     return out
 
 
@@ -189,10 +187,11 @@ def parse_fastq_bytes(data: bytes) -> tuple[list, int]:
                    _p(seq_off, ctypes.c_int64), _p(seq_len, ctypes.c_int64))
     raw = buf.tobytes()
     sq = seq_out.tobytes()
-    out = []
-    for i in range(count):
-        name = raw[name_off[i]:name_off[i] + name_len[i]].decode()
-        out.append((name, sq[seq_off[i]:seq_off[i] + seq_len[i]]))
+    # .tolist() + one comprehension: per-record numpy scalar extraction was
+    # the reader benchmark's hot spot, not the native scan
+    out = [(raw[a:a + b].decode(), sq[c:c + d])
+           for a, b, c, d in zip(name_off.tolist(), name_len.tolist(),
+                                 seq_off.tolist(), seq_len.tolist())]
     return out, int(consumed.value)
 
 
