@@ -127,16 +127,48 @@ def _inflate_slabs(fh, chunk_bytes: int) -> Iterator[bytes]:
             yield data
 
 
+def _prefetch_thread(iterator, depth: int = 2):
+    """Drain `iterator` on a worker thread, `depth` items ahead.  zlib
+    inflate and the native record scan both release the GIL, so slab i+1
+    decompresses while slab i parses — gzipped-FASTQ throughput is
+    inflate-bound, so the overlap reclaims most of the parse time.  The
+    worker is a daemon: if the consumer abandons the generator early, the
+    worker parks on the bounded queue and dies with the process."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    done = object()
+
+    def run():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(done)
+        except BaseException as e:  # re-raised on the consumer side
+            q.put(e)
+
+    threading.Thread(target=run, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def stream_fasta(path: str | Path, chunk_bytes: int = 32 << 20
                  ) -> Iterator[FastaRecord]:
     """Bounded-memory FASTA/FASTQ streaming, gzip included: the file is
     read in ~chunk_bytes slabs (gzip members inflate through zlib's C
-    path), each slab parses through the native C++ record scanner, and the
-    held-back partial record carries into the next slab.  Functionally
-    identical to read_fasta; this is the reader for 100M-read query
-    streams (SURVEY §2.2: klib/kseq streams — so do we).  FASTQ carry uses
-    the scanner's consumed-bytes contract, because '@' is a legal quality
-    character and a byte-level boundary search is unsound."""
+    path, one slab ahead on a worker thread), each slab parses through the
+    native C++ record scanner, and the held-back partial record carries
+    into the next slab.  Functionally identical to read_fasta; this is the
+    reader for 100M-read query streams (SURVEY §2.2: klib/kseq streams —
+    so do we).  FASTQ carry uses the scanner's consumed-bytes contract,
+    because '@' is a legal quality character and a byte-level boundary
+    search is unsound."""
     p = Path(path)
     try:
         from colbwt_tpu.io import native
@@ -152,7 +184,7 @@ def stream_fasta(path: str | Path, chunk_bytes: int = 32 << 20
     with p.open("rb") as fh:
         carry = b""
         fmt = b""
-        slabs = _inflate_slabs(fh, chunk_bytes)
+        slabs = _prefetch_thread(_inflate_slabs(fh, chunk_bytes))
         while True:
             slab = next(slabs, None)
             if slab is None:
