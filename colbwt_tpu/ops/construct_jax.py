@@ -318,10 +318,26 @@ def _gather_hits(ell_dev, pos_local: np.ndarray) -> np.ndarray:
     return vals[:pos_local.size].astype(np.int64)
 
 
+def _rss_bytes() -> int:
+    try:
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith("VmRSS"):
+                    return int(ln.split()[1]) * 1024
+    except OSError:
+        pass
+    return 0
+
+
 def find_multi_mums_chunked(lcp: np.ndarray, sa_docs: np.ndarray,
                             run_change: np.ndarray, num_docs: int,
                             min_mum: int, chunk: int = 1 << 26,
-                            log=None) -> tuple[np.ndarray, np.ndarray]:
+                            log=None, run_change_packed: bool = False,
+                            start_chunk: int = 0,
+                            max_chunks: int | None = None,
+                            rss_cap: int | None = None,
+                            info: dict | None = None
+                            ) -> tuple[np.ndarray, np.ndarray]:
     """Stream the multi-MUM scan through the device in fixed-shape chunks.
 
     Same outputs as find_multi_mums_jax, but peak HBM is O(chunk) instead of
@@ -333,10 +349,19 @@ def find_multi_mums_chunked(lcp: np.ndarray, sa_docs: np.ndarray,
     shape is shared across collections (one (C, N) program per document
     count, persisted by the compilation cache across processes), and the
     compile is done AOT with its time logged separately from execution —
-    the two were conflated in every round-3 build log."""
+    the two were conflated in every round-3 build log.
+
+    Inputs may be memmaps (only one chunk slice is materialized at a time).
+    With ``run_change_packed``, ``run_change`` holds little-endian
+    bit-packed marks (n/8 bytes; see mum_scan_stream.write_run_change_bits)
+    unpacked per chunk slice.  ``start_chunk``/``max_chunks``/``rss_cap``
+    scan a sub-range — results cover only that range (positions stay
+    global) and ``info["next_chunk"]`` reports the first unprocessed chunk,
+    so a driver can resume where a leak-bounded worker stopped
+    (mum_scan_stream.find_multi_mums_streamed)."""
     import time as _time
 
-    n = int(np.asarray(lcp).shape[0])
+    n = int(lcp.shape[0])
     N = num_docs
     halo = 2 * N + 2
     C = min(chunk, 1 << max(13, (max(n, 2) - 1).bit_length()))
@@ -354,6 +379,24 @@ def find_multi_mums_chunked(lcp: np.ndarray, sa_docs: np.ndarray,
         # chunked upload: ~0.8 GB per scan chunk through the tunneled
         # backend is 27x faster in 16 MB slices (utils/xfer.py)
         return device_put_chunked(sl.astype(dtype, copy=False))
+
+    def rc_slice(s):
+        from colbwt_tpu.utils.xfer import device_put_chunked
+
+        if not run_change_packed:
+            return slice_padded(run_change, s, 1, np.uint8)
+        # s is a multiple of C (power of two >= 8192), so bit offset s is
+        # byte-aligned; positions past n (packbits zero-padding included)
+        # are forced to the fill value 1
+        nb = (C + halo + 7) >> 3
+        raw = np.asarray(run_change[s >> 3:(s >> 3) + nb])
+        if raw.size < nb:
+            raw = np.concatenate(
+                [raw, np.full(nb - raw.size, 0xFF, np.uint8)])
+        bits = np.unpackbits(raw, bitorder="little")[:C + halo]
+        if s + C + halo > n:
+            bits[max(0, n - s):] = 1
+        return device_put_chunked(bits)
 
     # AOT compile once; log compile vs execute split
     t0 = _time.perf_counter()
@@ -381,20 +424,32 @@ def find_multi_mums_chunked(lcp: np.ndarray, sa_docs: np.ndarray,
         out_pos.append(pos_local.astype(np.int64) + s)
         out_lens.append(_gather_hits(ell_dev, pos_local))
 
-    for s in range(0, n, C):
+    n_chunks = -(-n // C)
+    k_end = (n_chunks if max_chunks is None
+             else min(n_chunks, start_chunk + max_chunks))
+    next_chunk = start_chunk
+    for k in range(start_chunk, k_end):
+        s = k * C
         packed_dev, ell_dev = compiled(
             slice_padded(lcp, s, 0, np.int32),
             slice_padded(sa_docs, s, docs_fill, docs_dtype),
-            slice_padded(run_change, s, 1, np.uint8),
+            rc_slice(s),
             jnp.int32(min(n - N - s, C)),  # clip: n - s overflows int32 at wide n
             mm)
         if pending is not None:
             drain(pending)
         pending = (s, packed_dev, ell_dev)
+        next_chunk = k + 1
+        if rss_cap is not None and next_chunk < k_end \
+                and _rss_bytes() > rss_cap:
+            break
     if pending is not None:
         drain(pending)
+    if info is not None:
+        info["next_chunk"] = next_chunk
     if log:
-        log(f"mum-scan execute+transfer ({-(-n // C)} chunks): "
+        log(f"mum-scan execute+transfer (chunks [{start_chunk},"
+            f"{next_chunk}) of {n_chunks}): "
             f"{_time.perf_counter() - t_exec:.1f}s")
     if not out_pos:
         z = np.empty(0, dtype=np.int64)

@@ -186,7 +186,11 @@ def _stage_mums_chunked(docs: list[bytes], prefix: str, cfg: ColBwtConfig,
         if rle_f.exists():
             try:
                 z = np.load(rle_f)
-                heads, lens, doc_of = z["heads"], z["lens"], z["doc_of"]
+                # doc_of stays on disk: the scan phase memmaps it
+                # (mum_scan_stream), and the tunneled backend retains ~1x
+                # of every uploaded host byte, so the scan must start from
+                # a near-zero resident plateau
+                heads, lens = z["heads"], z["lens"]
                 logger.info("[mums] chunked RLBWT loaded from stage cache")
             except Exception:
                 logger.warning("[mums] corrupt RLBWT stage cache — "
@@ -200,38 +204,49 @@ def _stage_mums_chunked(docs: list[bytes], prefix: str, cfg: ColBwtConfig,
             tmp = rle_f.with_suffix(".tmp.npz")
             np.savez(tmp, heads=heads, lens=lens, doc_of=doc_of)
             tmp.rename(rle_f)
+            del doc_of
     del text
     gc.collect()
     lcp_f = ck / f"lcp32.{fprint}.npy"
     with status("LCP from RLBWT (Beller BFS)", logger):
-        lcp32 = None
+        lcp_cached = False
         if lcp_f.exists():
             try:
-                lcp32 = np.load(lcp_f)
-                logger.info("[mums] LCP loaded from stage cache")
+                # header + length check only; contents stay on disk
+                np.load(lcp_f, mmap_mode="r")
+                lcp_cached = True
+                logger.info("[mums] LCP stage cache on disk (memmap)")
             except Exception:
                 logger.warning("[mums] corrupt LCP stage cache — rebuilding")
                 lcp_f.unlink(missing_ok=True)
-        if lcp32 is None:
+        if not lcp_cached:
             lcp32 = CC.lcp_chunked(heads, lens, len(docs))
             tmp = lcp_f.with_suffix(".tmp.npy")
             np.save(tmp, lcp32)
             tmp.rename(lcp_f)
+            del lcp32
+            gc.collect()
+    lcp32 = np.load(lcp_f, mmap_mode="r")
     with status("thresholds", logger):
         thr = O.compute_thresholds_fast(heads, lens, lcp32)
     with status("multi-MUMs", logger):
         if len(docs) >= 2:
-            from colbwt_tpu.ops import construct_jax as CJ
+            from colbwt_tpu.ops import mum_scan_stream as MS
 
-            rc = CC.run_change_from_runs(heads, lens)
-            ml, mp = CJ.find_multi_mums_chunked(
-                lcp32, doc_of, rc, len(docs), cfg.min_mum,
+            doc_f = ck / f"doc_of.{fprint}.u16.npy"
+            rc_f = ck / f"rc.{fprint}.bits.npy"
+            if not rc_f.exists():
+                MS.write_run_change_bits(heads, lens, rc_f)
+            if not doc_f.exists():
+                MS.extract_npz_member(rle_f, "doc_of.npy", doc_f)
+            ml, mp = MS.find_multi_mums_streamed(
+                lcp_f, doc_f, rc_f, len(docs), cfg.min_mum,
+                progress_path=ck / f"mumscan.{fprint}.npz",
                 log=lambda m: logger.info("[mums] %s", m))
-            del rc
         else:
             ml = np.empty(0, dtype=np.int64)
             mp = np.empty(0, dtype=np.int64)
-        del lcp32, doc_of
+        del lcp32
         gc.collect()
 
     F.write_rlbwt(fa, heads, lens, cfg.rw_bytes)

@@ -93,31 +93,44 @@ def main():
     log(f"collection built ({time.perf_counter() - t_all:.0f}s)")
 
     # --- chunked RLBWT + doc array (cached) ---------------------------------
+    # Post-RLBWT, every n-sized input lives on disk and is memmap-sliced:
+    # the tunneled backend retains ~1x of every uploaded host byte for the
+    # life of the process (mum_scan_stream module docstring), so the scan
+    # phase must start from a near-zero plateau and run in leak-bounded
+    # worker subprocesses.
     rle_f = wd / "rlbwt.npz"
     if rle_f.exists():
         z = np.load(rle_f)
-        heads, lens, doc_of = z["heads"], z["lens"], z["doc_of"]
+        heads, lens = z["heads"], z["lens"]  # doc_of stays on disk
         log("chunked RLBWT loaded from cache")
     else:
         t = time.perf_counter()
         heads, lens, doc_of = CC.build_rlbwt_chunked(
             text, doc_starts, args.chunk_chars, log=log, cache_dir=wd)
         np.savez(rle_f, heads=heads, lens=lens, doc_of=doc_of)
+        del doc_of
         log(f"chunked RLBWT total: {time.perf_counter() - t:.0f}s")
+    if args.phase != "query":
+        # build phases never touch text again (the query phase samples
+        # reads from it); drop 1 B/char of plateau before the scan
+        del text
+        gc.collect()
     r = heads.size
     log(f"r = {r:,}  n/r = {n / r:.1f}")
 
     # --- LCP from the RLBWT (no SA), cached ---------------------------------
     lcp_f = wd / "lcp32.npy"
     if lcp_f.exists():
-        lcp32 = np.load(lcp_f)
-        log("LCP loaded from cache")
+        log("LCP on disk (memmap)")
     else:
         t = time.perf_counter()
         lcp32 = CC.lcp_chunked(heads, lens, N)
         assert int(lcp32.min()) >= 0, "unset LCP entries"
         np.save(lcp_f, lcp32)
+        del lcp32
+        gc.collect()
         log(f"LCP from RLBWT (Beller BFS): {time.perf_counter() - t:.0f}s")
+    lcp32 = np.load(lcp_f, mmap_mode="r")
 
     # --- thresholds + multi-MUMs, cached ------------------------------------
     thr_f = wd / "thr.npy"
@@ -136,16 +149,24 @@ def main():
         ml, mp = z["ml"], z["mp"]
         log("multi-MUMs loaded from cache")
     else:
+        from colbwt_tpu.ops import mum_scan_stream as MS
+
         t = time.perf_counter()
-        rc = CC.run_change_from_runs(heads, lens)
-        ml, mp = CJ.find_multi_mums_chunked(
-            lcp32, doc_of, rc, N, args.min_mum, log=log)
-        del rc
-        gc.collect()
+        doc_f = wd / "doc_of.u16.npy"
+        rc_f = wd / "rc_bits.npy"
+        if not rc_f.exists():
+            MS.write_run_change_bits(heads, lens, rc_f)
+            log("run-change bits written (packed)")
+        if not doc_f.exists():
+            MS.extract_npz_member(rle_f, "doc_of.npy", doc_f)
+            log("doc array streamed out of the RLBWT cache")
+        ml, mp = MS.find_multi_mums_streamed(
+            lcp_f, doc_f, rc_f, N, args.min_mum,
+            compile_cache=str(REPO / ".bench_cache" / "jax_cache"), log=log)
         np.savez(mums_f, ml=ml, mp=mp)
         log(f"multi-MUM scan: {time.perf_counter() - t:.0f}s  "
             f"mums = {ml.size:,}")
-    del lcp32, doc_of
+    del lcp32
     gc.collect()
 
     # --- col-split + index ---------------------------------------------------
@@ -196,7 +217,7 @@ def main():
         # rescue the code path
         import subprocess
 
-        del tbl, index, heads, lens, bits, ids, thr, text
+        del tbl, index, heads, lens, bits, ids, thr
         gc.collect()
         cmd = [sys.executable, __file__, "--phase", "query"]
         for k, v in vars(args).items():
